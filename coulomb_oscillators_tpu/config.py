@@ -1,0 +1,84 @@
+"""Simulation configuration.
+
+TPU-native replacement for the reference's mutable globals and compile-time
+defines (reference: Simulation/constants.cuh:22-52 — SCAL/DIM defines and the
+BLOCK_SIZE/EPS2/fmm_order/tree_radius/tree_L/tree_steps/dens_inhom/coll
+globals).  Here everything is an immutable dataclass carried explicitly;
+precision and dimensionality are runtime config, not #defines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Default trap frequencies / distribution moments
+# (reference: Simulation/main3.cu:230-245).
+_DEFAULT_OMEGA0_3D = (1.095, 1.0, 1.0)
+_DEFAULT_X_STD_3D = (0.003, 0.001, 0.01)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Immutable simulation configuration.
+
+    Attributes mirror the reference CLI flags (Simulation/main3.cu:247-623)
+    plus the globals of constants.cuh; see each field's comment.
+    """
+
+    # --- core numerics -----------------------------------------------------
+    dim: int = 3                  # constants.cuh:26 (DIM)
+    precision: str = "float32"    # constants.cuh:22 (SCAL); "float64" needs jax_enable_x64
+    eps: float = 1e-9             # softening; EPS2 = eps**2 (constants.cuh:39, main3.cu:283)
+
+    # --- physics -----------------------------------------------------------
+    xi: float = 2e-6              # coupling; force scale is xi/N (main3.cu:240,686)
+    omega0: Tuple[float, ...] = _DEFAULT_OMEGA0_3D  # trap frequencies (main3.cu:241)
+
+    # --- FMM ---------------------------------------------------------------
+    fmm_order: int = 3            # expansion order p (constants.cuh:42)
+    tree_radius: float = 1.0      # MAC interaction radius (constants.cuh:43)
+    tree_L: int = 0               # max tree level; 0 = auto heuristic (constants.cuh:44)
+    tree_steps: int = 8           # tree rebuilt every `tree_steps` iters (constants.cuh:45)
+    dens_inhom: float = 1.0       # density-inhomogeneity factor for auto level (constants.cuh:52)
+    coll: bool = True             # include near-field P2P pass (constants.cuh:50)
+    unsort: bool = True           # return accelerations in input particle order
+
+    # --- integration -------------------------------------------------------
+    dt: float = 5e-4              # main3.cu:231
+    integrator: str = "leapfrog"  # {euler, leapfrog, forestruth, pefrl} (main3.cu:238,389-401)
+
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError(f"dim must be 2 or 3, got {self.dim}")
+        if self.precision not in ("float32", "float64"):
+            raise ValueError(f"precision must be float32/float64, got {self.precision}")
+        if len(self.omega0) != self.dim:
+            raise ValueError(f"omega0 must have {self.dim} components")
+        if self.fmm_order < 1:
+            raise ValueError("fmm_order must be >= 1")
+        if self.eps <= 0:
+            raise ValueError("eps must be > 0")
+
+    # ------------------------------------------------------------------ #
+    @property
+    def dtype(self):
+        return jnp.dtype(self.precision)
+
+    @property
+    def eps2(self) -> float:
+        """Squared softening parameter (constants.cuh:39)."""
+        return self.eps * self.eps
+
+    def kappa(self, n: int) -> float:
+        """Coulomb force prefactor xi/N (main3.cu:686: par[0])."""
+        return self.xi / float(n)
+
+    def omega0_sq(self) -> Tuple[float, ...]:
+        """Trap spring constants omega0^2 (main3.cu:689-691: par[3..5])."""
+        return tuple(w * w for w in self.omega0)
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

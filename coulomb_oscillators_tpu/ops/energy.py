@@ -1,0 +1,58 @@
+"""Total-energy diagnostic for drift measurements.
+
+The reference has no explicit energy routine (its oracle is force accuracy);
+the rebuild's north-star metric is relative energy drift over 10k steps
+(BASELINE.md), so we provide the conserved Hamiltonian of the model:
+
+    H = 1/2 sum_i |v_i|^2  +  1/2 sum_i omega0^2 (.) x_i^2  +  U_coulomb
+
+with the softened pair potential matching the force law
+(direct.cuh:23-35 integrated):
+
+    3D: U = kappa/2 * sum_{i != j} 1 / sqrt(r_ij^2 + eps2)
+    2D: U = -kappa/4 * sum_{i != j} log(r_ij^2 + eps2)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("row_chunk",))
+def coulomb_potential(pos: jax.Array, eps2: float, kappa: float,
+                      row_chunk: int = 512) -> jax.Array:
+    """Softened pairwise potential energy (i != j pairs, counted once)."""
+    n, dim = pos.shape
+    npad = -(-n // row_chunk) * row_chunk
+    padded = jnp.pad(pos, ((0, npad - n), (0, 0)))
+    idx = jnp.arange(npad).reshape(npad // row_chunk, row_chunk)
+    chunks = padded.reshape(npad // row_chunk, row_chunk, dim)
+
+    def chunk_pot(args):
+        rows, rid = args
+        d = rows[:, None, :] - pos[None, :, :]
+        dist2 = jnp.sum(d * d, axis=-1) + eps2
+        # mask: self pairs and padded target rows
+        valid = (rid[:, None] != jnp.arange(n)[None, :]) & (rid[:, None] < n)
+        if dim == 3:
+            phi = jax.lax.rsqrt(dist2)
+        else:
+            phi = -0.5 * jnp.log(dist2)
+        return jnp.sum(jnp.where(valid, phi, 0.0).astype(jnp.float32))
+
+    pots = jax.lax.map(chunk_pot, (chunks, idx))
+    return 0.5 * kappa * jnp.sum(pots)
+
+
+@functools.partial(jax.jit, static_argnames=("row_chunk",))
+def total_energy(pos: jax.Array, vel: jax.Array, eps2: float, kappa: float,
+                 omega0_sq, row_chunk: int = 512) -> jax.Array:
+    """Conserved Hamiltonian (per unit mass). Computed in float32 accumulators."""
+    ke = 0.5 * jnp.sum(jnp.square(vel).astype(jnp.float32))
+    k = jnp.asarray(omega0_sq, dtype=jnp.float32)
+    trap = 0.5 * jnp.sum(jnp.square(pos).astype(jnp.float32) * k)
+    pot = coulomb_potential(pos, eps2, kappa, row_chunk=row_chunk)
+    return ke + trap + pot
