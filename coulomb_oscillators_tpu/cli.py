@@ -145,19 +145,31 @@ def main(argv: Optional[list] = None) -> int:
         return run_test2_mode(config, n, state, engine)
 
     # --- simulation loop (main3.cu:832-874) --------------------------------
+    from coulomb_oscillators_tpu.simulate import Simulator
+
     os.makedirs(args.out, exist_ok=True)
     SIO.write_args(args.out, sys.argv if argv is None else ["nbco3"] + list(argv))
 
-    step = M.make_step_fn(config, n, engine=engine)
-    state = M.init_accelerations(config, state, engine=engine)
+    sim = Simulator(config, n, engine=engine)
+    state = sim.init_acc(state)
 
-    for it in range(args.iters + 1):
-        state = step(state)
-        if it % args.steps == 0:
-            print(it, end=" ", flush=True)
-            SIO.write_state(SIO.snapshot_name(args.out, it, config.dt),
-                            np.asarray(state.pos, dtype=dtype),
-                            np.asarray(state.vel, dtype=dtype))
+    # reference cadence (main3.cu:841-873): snapshot out<iter> written when
+    # iter % steps == 0, after stepping at that iter.
+    def snapshot(it):
+        print(it, end=" ", flush=True)
+        SIO.write_state(SIO.snapshot_name(args.out, it, config.dt),
+                        np.asarray(state.pos, dtype=dtype),
+                        np.asarray(state.vel, dtype=dtype))
+
+    state = sim.run(state, 1)
+    snapshot(0)
+    it = 1
+    while it <= args.iters:
+        k = min(args.steps, args.iters + 1 - it)
+        state = sim.run(state, k)
+        it += k
+        if (it - 1) % args.steps == 0:
+            snapshot(it - 1)
     print()
     return 0
 
@@ -242,10 +254,15 @@ def run_test2_mode(config, n, state, engine) -> int:
     cfg = config.replace(unsort=False)
     test_f = M.make_coulomb_force(cfg, n, engine)
     ref_f = M.make_coulomb_force(cfg, n, "direct_ref")
+    # freeze the tree across steps (the point of -test2: validate reuse)
+    eng = getattr(test_f, "engine", None)
+    fstate = eng.build(state.pos) if eng is not None else None
     trap = lambda p: elastic(p, cfg.omega0_sq())
     euler = I.make_step(trap, "pre_euler", cfg.dt)
     for i in range(cfg.tree_steps + 1):
-        err = float(mean_rel_err(test_f(state.pos), ref_f(state.pos)))
+        acc = (eng.force(state.pos, fstate) if eng is not None
+               else test_f(state.pos))
+        err = float(mean_rel_err(acc, ref_f(state.pos)))
         print(f"Relative error after {i} steps: {err}")
         state = euler(state)
     return 0

@@ -1,0 +1,162 @@
+"""Batched FMM operators (runtime, jnp).
+
+All functions are pure, batched over a leading axis, static-shaped, and
+built from the tables in tables.py.  See tables.py for the conventions.
+
+Reference parity: p2m/p2m_acc3 (fmm_cart_base3.cuh:896-994), m2m_acc3
+(:1006-1179), m2l_acc3 (:1181-1346), l2l_acc3 (:1348-1454), l2p_field3 /
+m2p_field3 (:1456-1611) — re-derived, not translated; the per-element
+recursions become gathers + einsums.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coulomb_oscillators_tpu.ops.multipole import harmonics as hm
+from coulomb_oscillators_tpu.ops.multipole.tables import FmmTables, build_tables
+
+
+def _j(x, dtype=jnp.float32):
+    return jnp.asarray(x, dtype=dtype)
+
+
+def eval_monomials_M(t: FmmTables, e: jax.Array) -> jax.Array:
+    """Monomials over the multipole layout (orders 0..PM): [B, S_M]."""
+    return hm.eval_monomials(e, t.PM, t.dim)
+
+
+def eval_monomials_L(t: FmmTables, e: jax.Array) -> jax.Array:
+    """Monomials over the local layout (orders 0..PL): [B, S_Lf]."""
+    return hm.eval_monomials(e, t.PL, t.dim)
+
+
+def p2m_contrib(t: FmmTables, e: jax.Array, q=None) -> jax.Array:
+    """Per-particle multipole contributions [B, S_M].
+
+    e = (x_j - x_c)/lam_c normalized offsets; q optional weights [B].
+    Sum per cell (segment_sum) is the caller's job.
+    """
+    V = eval_monomials_M(t, e)
+    out = V * _j(t.p2m_coef, e.dtype)[None, :]
+    if q is not None:
+        out = out * q[:, None]
+    return out
+
+
+def m2m(t: FmmTables, M: jax.Array, s: jax.Array, rho: jax.Array) -> jax.Array:
+    """Shift multipoles to a new center: [B,S_M],[B,dim],[B] -> [B,S_M].
+
+    s = (x_child - x_parent)/lam_parent ; rho = lam_child/lam_parent.
+    """
+    Vs = eval_monomials_M(t, -s)                          # [B, S_M]
+    G = Vs[:, _j(t.m2m_idx, jnp.int32)]                   # [B, S_M, S_M]
+    K = G * _j(t.m2m_coef, M.dtype)[None]
+    Mpre = M * (rho[:, None] ** _j(t.m_order, M.dtype)[None, :])
+    return jnp.einsum("bij,bj->bi", K, Mpre)
+
+
+def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
+        lam_src: jax.Array, lam_tgt: jax.Array) -> jax.Array:
+    """Multipoles -> traceless locals for a batch of interacting pairs.
+
+    R = x_tgt - x_src (unnormalized).  Returns [B, S_Lt] contributions
+    (caller scatter-adds into target cells).
+    """
+    r = jnp.linalg.norm(R, axis=-1)
+    Rh = R / r[:, None]
+    H = hm.eval_H(Rh, t.maxH, t.dim)                      # [B, S_H]
+    K = H[:, _j(t.m2l_idx, jnp.int32)] * _j(t.m2l_coef, M.dtype)[None]
+    v = lam_src / r
+    u = lam_tgt / r
+    Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
+    L = jnp.einsum("bij,bj->bi", K, Mv)
+    L = L * (u[:, None] ** _j(t.nt_order, M.dtype)[None, :])
+    if t.dim == 3:
+        L = L / r[:, None]
+    else:
+        # 2D kernel is -log r : order-0 harmonic H_0=1 stands in for G_0;
+        # correct the monopole->L_0 term (affects potential only).
+        corr = M[:, 0] * (-jnp.log(r) - 1.0)
+        L = L.at[:, 0].add(corr)
+    return L
+
+
+def expand_L(t: FmmTables, Lt: jax.Array) -> jax.Array:
+    """Traceless-stored locals -> full symmetric layout [B, S_Lf]."""
+    return Lt @ _j(t.extend_L, Lt.dtype).T
+
+
+def l2l(t: FmmTables, Lt_parent: jax.Array, s: jax.Array,
+        rho: jax.Array) -> jax.Array:
+    """Recenter locals from parent to child: [B,S_Lt],[B,dim],[B] -> [B,S_Lt].
+
+    s = (x_child - x_parent)/lam_parent ; rho = lam_child/lam_parent.
+    """
+    Lf = expand_L(t, Lt_parent)
+    Vs = eval_monomials_L(t, s)
+    G = Vs[:, _j(t.l2l_idx, jnp.int32)]                   # [B, S_Lt, S_Lf]
+    K = G * _j(t.l2l_coef, Lf.dtype)[None]
+    out = jnp.einsum("bij,bj->bi", K, Lf)
+    return out * (rho[:, None] ** _j(t.nt_order, Lf.dtype)[None, :])
+
+
+def l2p_field(t: FmmTables, Lt: jax.Array, w: jax.Array,
+              lam: jax.Array) -> jax.Array:
+    """Field -grad(Phi) at particles: [B,S_Lt],[B,dim],[B] -> [B,dim].
+
+    w = (x - x_cell)/lam normalized offsets.
+    """
+    Lf = expand_L(t, Lt)
+    V = eval_monomials_L(t, w)                            # [B, S_Lf]
+    D = _j(t.l2p_D, Lf.dtype)                             # [dim, S_Lf, S_Lf]
+    U = jnp.einsum("bk,akj->baj", V, D)                   # [B, dim, S_Lf]
+    F = -jnp.einsum("bj,baj->ba", Lf, U)
+    return F / lam[:, None]
+
+
+def l2p_potential(t: FmmTables, Lt: jax.Array, w: jax.Array) -> jax.Array:
+    """Phi at particles from the local expansion: [B]."""
+    Lf = expand_L(t, Lt)
+    V = eval_monomials_L(t, w)
+    return jnp.sum(Lf * _j(t.l2p_mult, Lf.dtype)[None] * V, axis=-1)
+
+
+def m2p_field(t: FmmTables, M: jax.Array, R: jax.Array,
+              lam_src: jax.Array) -> jax.Array:
+    """Far field of a cell's multipoles at points R = x - x_src: [B,dim]."""
+    r = jnp.linalg.norm(R, axis=-1)
+    Rh = R / r[:, None]
+    H = hm.eval_H(Rh, t.maxH, t.dim)
+    v = lam_src / r
+    Mv = M * _j(t.m2p_coef, M.dtype)[None] * \
+        (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
+    comps = []
+    for ax in range(t.dim):
+        Hax = H[:, _j(t.m2p_idx[ax], jnp.int32)]          # [B, S_M]
+        comps.append(-jnp.sum(Mv * Hax, axis=-1))
+    F = jnp.stack(comps, axis=-1)
+    eta = 1 if t.dim == 3 else 0
+    return F / (r[:, None] ** (eta + 1))
+
+
+def m2p_potential(t: FmmTables, M: jax.Array, R: jax.Array,
+                  lam_src: jax.Array) -> jax.Array:
+    """Far potential of a cell's multipoles at points R = x - x_src: [B]."""
+    r = jnp.linalg.norm(R, axis=-1)
+    Rh = R / r[:, None]
+    H = hm.eval_H(Rh, t.maxH, t.dim)
+    v = lam_src / r
+    Mv = M * _j(t.m2p_coef, M.dtype)[None] * \
+        (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
+    # H layout for orders 0..P coincides with the multipole layout slots
+    pot = jnp.sum(Mv * H[:, : t.S_M], axis=-1)
+    if t.dim == 3:
+        return pot / r
+    # 2D: monopole term uses -log r instead of H_0 = 1
+    return pot + M[:, 0] * (-jnp.log(r) - 1.0)

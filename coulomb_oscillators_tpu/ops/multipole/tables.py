@@ -1,0 +1,175 @@
+"""Precomputed coefficient/gather tables for the FMM operators.
+
+Built once per (dim, p) on host in float64 numpy; applied at runtime as
+batched gathers + einsums (operators.py).  This replaces the reference's
+template-recursive per-element contraction kernels (fmm_cart_base3.cuh:
+P2M :896, M2M :1006, M2L :1181, L2L :1348, L2P :1456) with static tables —
+the TPU-idiomatic formulation (SURVEY.md §7 hard part 1).
+
+Order conventions follow the reference kd-tree engine
+(fmm_cart3_kdtree.cuh:207-217, 613-661): multipoles are stored for orders
+0..p-1 (symmetric packed), locals for orders 0..p (traceless packed), and
+M2L is truncated at total gradient order m = |gamma| + |delta| <= p, which
+bounds the harmonic tables at order max(p, PM+1) = p.
+
+Value conventions (self-consistent, validated against direct summation):
+
+  * Cell c has center x_c and length scale lam_c.  Normalized offsets
+    e = (x - x_c)/lam_c keep every stored quantity O(1) in float32 (the
+    scale-invariant replacement for the reference's r^(m+1) rescale at
+    fmm_cart_base3.cuh:1194).
+  * Multipoles:  M~_m[g] = (-1)^m/m! * sum_j q_j e_j^g
+  * Locals (tensor-normalized Taylor):
+        Phi(x) = sum_n sum_{|d|=n} mult(d) T_n[d] w^d,   w = (x-x_T)/lam_T
+  * M2L:  T_n[d] = u^n/(r^eta n!) sum_m v^m sum_g mult(g) M~_m[g]
+                    * H_{m+n}[g+d](Rhat)
+    with u = lam_T/r, v = lam_S/r, eta = 1 (3D) or 0 (2D).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+
+from coulomb_oscillators_tpu.ops.multipole import harmonics as hm
+from coulomb_oscillators_tpu.ops.multipole import packing as pk
+
+
+def _sub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _valid(idx) -> bool:
+    return all(x >= 0 for x in idx)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: build_tables is cached
+class FmmTables:
+    dim: int
+    p: int           # expansion order
+    PM: int          # multipole orders 0..PM = p-1
+    PL: int          # local orders 0..PL = p
+    # sizes
+    S_M: int         # sym layout size, orders 0..PM (multipoles)
+    S_Lt: int        # traceless layout size, orders 0..PL (locals, stored)
+    S_Lf: int        # sym layout size, orders 0..PL (locals, expanded)
+    S_H: int         # sym layout size, orders 0..maxH (harmonics)
+    maxH: int
+    # per-slot orders
+    m_order: np.ndarray   # [S_M]
+    nt_order: np.ndarray  # [S_Lt]
+    nf_order: np.ndarray  # [S_Lf]
+    # tables
+    p2m_coef: np.ndarray       # [S_M] (-1)^m/m!
+    extend_L: np.ndarray       # [S_Lf, S_Lt] traceless -> full
+    m2l_idx: np.ndarray        # [S_Lt, S_M] -> H slot
+    m2l_coef: np.ndarray       # [S_Lt, S_M] (0 where m+n > p: truncation)
+    m2m_idx: np.ndarray        # [S_M, S_M] -> V slot (orders 0..PM)
+    m2m_coef: np.ndarray       # [S_M, S_M]
+    l2l_idx: np.ndarray        # [S_Lt, S_Lf] -> VL slot (orders 0..PL)
+    l2l_coef: np.ndarray       # [S_Lt, S_Lf]
+    l2p_D: np.ndarray          # [dim, S_Lf, S_Lf]
+    l2p_mult: np.ndarray       # [S_Lf] mult(d) (potential eval)
+    m2p_idx: np.ndarray        # [dim, S_M] -> H slot
+    m2p_coef: np.ndarray       # [S_M] mult(g)
+    numcoef: np.ndarray        # [S_H, S_H] monomials -> H
+
+
+@functools.lru_cache(maxsize=None)
+def build_tables(dim: int, p: int, truncate: bool = True) -> FmmTables:
+    """Tables for expansion order p.  truncate=False keeps all m+n <= PM+PL
+    M2L couplings (full Taylor, used by tests); the engine default mirrors
+    the reference's maxm = p truncation."""
+    PM = p - 1
+    PL = p
+    maxH = max(PM + PL if not truncate else p, PM + 1)
+
+    symM, m_order, symM_idx = pk.sym_layout(PM, dim)
+    trcL, nt_order, _ = pk.trc_layout(PL, dim)
+    symL, nf_order, symL_idx = pk.sym_layout(PL, dim)
+    symH, _, symH_idx = pk.sym_layout(maxH, dim)
+
+    S_M, S_Lt, S_Lf, S_H = len(symM), len(trcL), len(symL), len(symH)
+
+    p2m_coef = np.array([(-1.0) ** n / math.factorial(n) for n in m_order])
+
+    extend_L = pk.traceless_extend_layout(PL, dim)
+
+    # M2L
+    m2l_idx = np.zeros((S_Lt, S_M), dtype=np.int32)
+    m2l_coef = np.zeros((S_Lt, S_M))
+    for i, d in enumerate(trcL):
+        n = sum(d)
+        for j, g in enumerate(symM):
+            m = sum(g)
+            if truncate and (m + n > p):
+                continue
+            tot = tuple(a + b for a, b in zip(d, g))
+            m2l_idx[i, j] = symH_idx[tot]
+            m2l_coef[i, j] = pk.multinomial(g) / math.factorial(n)
+
+    # M2M: M'_n[a] = sum_{b<=a} [binom(a,b) g!/n!] (-s)^b rho^g M_g[a-b]
+    m2m_idx = np.zeros((S_M, S_M), dtype=np.int32)
+    m2m_coef = np.zeros((S_M, S_M))
+    for i, a in enumerate(symM):
+        n = sum(a)
+        for j, g in enumerate(symM):
+            b = _sub(a, g)
+            if not _valid(b):
+                continue
+            m2m_idx[i, j] = symM_idx[b]
+            m2m_coef[i, j] = (pk.binom_multi(a, b)
+                              * math.factorial(sum(g)) / math.factorial(n))
+
+    # L2L: T'_n[a] = sum_g binom(n+|g|,|g|) mult(g) s^g rho^n T_{n+|g|}[a+g]
+    l2l_idx = np.zeros((S_Lt, S_Lf), dtype=np.int32)
+    l2l_coef = np.zeros((S_Lt, S_Lf))
+    for i, a in enumerate(trcL):
+        n = sum(a)
+        for j, dl in enumerate(symL):
+            g = _sub(dl, a)
+            if not _valid(g):
+                continue
+            m = sum(dl)
+            l2l_idx[i, j] = symL_idx[g]
+            l2l_coef[i, j] = math.comb(m, m - n) * pk.multinomial(g)
+
+    # L2P field: F_i = -(1/lam) sum_d mult(d) d_i Tfull[d] w^(d - e_i)
+    l2p_D = np.zeros((dim, S_Lf, S_Lf))
+    for j, dl in enumerate(symL):
+        for ax in range(dim):
+            if dl[ax] == 0:
+                continue
+            tgt = list(dl)
+            tgt[ax] -= 1
+            k = symL_idx[tuple(tgt)]
+            l2p_D[ax, k, j] = pk.multinomial(dl) * dl[ax]
+    l2p_mult = np.array([pk.multinomial(d) for d in symL], dtype=np.float64)
+
+    # M2P field: F_i = -(1/r^(eta+1)) sum_g mult(g) v^m M~[g] H_{m+1}[g+e_i]
+    m2p_idx = np.zeros((dim, S_M), dtype=np.int32)
+    m2p_coef = np.array([pk.multinomial(g) for g in symM], dtype=np.float64)
+    for j, g in enumerate(symM):
+        for ax in range(dim):
+            tgt = list(g)
+            tgt[ax] += 1
+            m2p_idx[ax, j] = symH_idx[tuple(tgt)]
+
+    numcoef = hm.numerator_matrix(maxH, dim)
+
+    return FmmTables(
+        dim=dim, p=p, PM=PM, PL=PL,
+        S_M=S_M, S_Lt=S_Lt, S_Lf=S_Lf, S_H=S_H, maxH=maxH,
+        m_order=np.asarray(m_order), nt_order=np.asarray(nt_order),
+        nf_order=np.asarray(nf_order),
+        p2m_coef=p2m_coef, extend_L=extend_L,
+        m2l_idx=m2l_idx, m2l_coef=m2l_coef,
+        m2m_idx=m2m_idx, m2m_coef=m2m_coef,
+        l2l_idx=l2l_idx, l2l_coef=l2l_coef,
+        l2p_D=l2p_D, l2p_mult=l2p_mult,
+        m2p_idx=m2p_idx, m2p_coef=m2p_coef,
+        numcoef=numcoef,
+    )

@@ -1,0 +1,101 @@
+"""Simulation driver: integrator x force-engine orchestration.
+
+Mirrors the reference sim loop (main3.cu:832-874) with the kd-tree temporal
+amortization (tree rebuilt every `tree_steps` iterations,
+fmm_cart3_kdtree.cuh:1619-1642): between rebuilds the integrator runs as one
+jitted lax.scan with the frozen FmmState as a captured input; the rebuild
+(device sort + host traversal) happens at the jit boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from coulomb_oscillators_tpu.config import SimConfig
+from coulomb_oscillators_tpu.models import integrators as I
+from coulomb_oscillators_tpu.ops.elastic import add_elastic
+from coulomb_oscillators_tpu.state import ParticleState
+
+
+class Simulator:
+    """Runs the Coulomb-oscillator system with any force engine."""
+
+    def __init__(self, config: SimConfig, n: int, engine: str = "direct"):
+        self.config = config
+        self.n = n
+        self.engine_name = engine
+        self.omega0_sq = config.omega0_sq()
+        self._fmm = None
+        self._fstate = None
+        self._steps_since_build = 0
+
+        if engine.startswith("fmm"):
+            from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
+            self._fmm = KdFmmEngine(config, n)
+            self._scan_step = self._make_fmm_scan()
+        else:
+            from coulomb_oscillators_tpu.models.oscillator import (
+                make_oscillator_force)
+            force = make_oscillator_force(config, n, engine)
+            step = I.make_step(force, config.integrator, config.dt)
+            self._plain_step = jax.jit(step)
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def scan_k(state, k):
+                return I.nsteps(step, state, k)
+
+            self._plain_scan = scan_k
+
+    # ------------------------------------------------------------------ #
+    def _make_fmm_scan(self):
+        eng = self._fmm
+        cfg = self.config
+        omega0_sq = self.omega0_sq
+
+        def force(pos, fstate):
+            acc = eng._force_impl(pos, fstate)
+            return add_elastic(pos, acc, omega0_sq)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def scan_k(state, fstate, k):
+            step = I.make_step(lambda p: force(p, fstate),
+                               cfg.integrator, cfg.dt)
+            return I.nsteps(step, state, k)
+
+        return scan_k
+
+    # ------------------------------------------------------------------ #
+    def init_acc(self, state: ParticleState) -> ParticleState:
+        """Precompute a0 (main3.cu:835-839)."""
+        if self._fmm is not None:
+            self._fstate = self._fmm.build(state.pos)
+            self._steps_since_build = 0
+            acc = self._fmm.force(state.pos, self._fstate)
+            acc = add_elastic(state.pos, acc, self.omega0_sq)
+        else:
+            from coulomb_oscillators_tpu.models.oscillator import (
+                make_oscillator_force)
+            acc = make_oscillator_force(self.config, self.n,
+                                        self.engine_name)(state.pos)
+        return state._replace(acc=acc)
+
+    def run(self, state: ParticleState, steps: int) -> ParticleState:
+        """Advance `steps` iterations, rebuilding the tree as configured."""
+        if self._fmm is None:
+            return self._plain_scan(state, k=steps)
+
+        ts = max(self.config.tree_steps, 1)
+        done = 0
+        while done < steps:
+            if self._fstate is None or self._steps_since_build >= ts:
+                self._fstate = self._fmm.build(state.pos)
+                self._steps_since_build = 0
+            k = min(ts - self._steps_since_build, steps - done)
+            state = self._scan_step(state, self._fstate, k=k)
+            self._steps_since_build += k
+            done += k
+        return state

@@ -1,0 +1,101 @@
+"""kd-tree FMM engine: accuracy vs direct oracle, tree reuse, simulator.
+
+Mirrors the reference test strategy (SURVEY.md §4): engines are validated
+against the Kahan direct reference on identical states; -test2 semantics
+(error drift under tree reuse) are covered by the reuse test.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from coulomb_oscillators_tpu import SimConfig, ParticleState
+from coulomb_oscillators_tpu.models import init_dist as ID
+from coulomb_oscillators_tpu.ops import direct as D
+from coulomb_oscillators_tpu.ops.fmm.kdtree import KdFmmEngine, auto_level
+from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
+
+N = 1500
+
+
+@pytest.fixture(scope="module")
+def beam():
+    pos, vel = ID.init_gaussian(N, (0.003, 0.001, 0.01), (0.003, 0.001, 0.01))
+    return jnp.asarray(pos), jnp.asarray(vel)
+
+
+@pytest.fixture(scope="module")
+def config():
+    return SimConfig(fmm_order=4, tree_radius=2.0)
+
+
+def test_accuracy_vs_direct(beam, config):
+    pos, _ = beam
+    ref = D.direct_kahan(pos, config.eps2, config.kappa(N))
+    eng = KdFmmEngine(config, N)
+    fs = eng.build(pos)
+    acc = eng.force(pos, fs)
+    err = float(mean_rel_err(acc, ref))
+    assert err < 2e-2, err
+
+
+def test_accuracy_improves_with_radius(beam):
+    pos, _ = beam
+    cfg1 = SimConfig(fmm_order=3, tree_radius=1.0)
+    cfg2 = SimConfig(fmm_order=3, tree_radius=2.5)
+    ref = D.direct_kahan(pos, cfg1.eps2, cfg1.kappa(N))
+    errs = []
+    for cfg in (cfg1, cfg2):
+        eng = KdFmmEngine(cfg, N)
+        acc = eng.force(pos, eng.build(pos))
+        errs.append(float(mean_rel_err(acc, ref)))
+    assert errs[1] < errs[0] * 0.5, errs
+
+
+def test_ncoll_drops_near_field(beam, config):
+    # -ncoll semantics (main3.cu:289): no P2P pass
+    pos, _ = beam
+    eng = KdFmmEngine(config.replace(coll=False), N)
+    fs = eng.build(pos)
+    assert int(jnp.sum(fs.p2p_valid)) == 0
+
+
+def test_tree_reuse_drift(beam, config):
+    # -test2 semantics: error stays bounded when the tree is frozen while
+    # particles drift slightly (fmm reuse across tree_steps).
+    pos, _ = beam
+    ref_err = []
+    eng = KdFmmEngine(config, N)
+    fs = eng.build(pos)
+    rng = np.random.default_rng(0)
+    p = pos
+    for i in range(3):
+        ref = D.direct_kahan(p, config.eps2, config.kappa(N))
+        acc = eng.force(p, fs)  # tree frozen from step 0
+        ref_err.append(float(mean_rel_err(acc, ref)))
+        # small drift, ~ dt * velocity scale
+        p = p + jnp.asarray(rng.normal(size=(N, 3)) * 1e-5, dtype=p.dtype)
+    assert ref_err[-1] < ref_err[0] * 3 + 1e-2, ref_err
+
+
+def test_auto_level():
+    assert auto_level(30001, 3) >= 2
+    assert 2 ** auto_level(100, 3) <= 100
+    assert auto_level(10, 3, tree_L=5) == 3  # clamped by n
+
+
+def test_simulator_fmm_energy(beam):
+    from coulomb_oscillators_tpu.models import oscillator as M
+    from coulomb_oscillators_tpu.simulate import Simulator
+
+    pos, vel = beam
+    config = SimConfig(fmm_order=4, tree_radius=2.0, dt=5e-4)
+    sim = Simulator(config, N, engine="fmm3_kd")
+    state = ParticleState(pos, vel, jnp.zeros_like(pos))
+    state = sim.init_acc(state)
+    e0 = float(M.total_energy(config, state))
+    state = sim.run(state, 20)
+    e1 = float(M.total_energy(config, state))
+    drift = abs(e1 - e0) / abs(e0)
+    assert np.isfinite(drift) and drift < 1e-3, drift
