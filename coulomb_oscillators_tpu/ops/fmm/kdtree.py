@@ -47,12 +47,19 @@ FAR = 1e18
 
 
 def auto_level(n: int, p: int, dens_inhom: float = 1.0,
-               tree_L: int = 0) -> int:
-    """Reference level heuristic (fmm_cart3_kdtree.cuh:1502-1515)."""
+               tree_L: int = 0, leaf_target: int = 0) -> int:
+    """Level heuristic.
+
+    Reference formula (fmm_cart3_kdtree.cuh:1502-1515) targets leaves of
+    ~p^2 particles — right for a GPU's subwarp P2P.  On TPU the VPU wants
+    leaf blocks of O(100) lanes, so the engine passes `leaf_target` (default
+    64) and we aim for that occupancy instead; `tree_L` still overrides.
+    """
     if tree_L > 0:
         L = tree_L
     else:
-        L = int(round(math.log2(max(dens_inhom * n / (p * p), 1.0))))
+        tgt = leaf_target if leaf_target > 0 else p * p
+        L = int(round(math.log2(max(dens_inhom * n / tgt, 1.0))))
     L = max(2, min(L, 30))
     while (1 << L) > max(n, 2):
         L -= 1
@@ -62,6 +69,7 @@ def auto_level(n: int, p: int, dens_inhom: float = 1.0,
 class FmmState(NamedTuple):
     """Device state frozen between tree rebuilds."""
     perm: jax.Array        # [n] sorted slot -> original particle index
+    inv_perm: jax.Array    # [n] original particle index -> sorted slot
     center: jax.Array      # [Mheap, dim] expansion centers (frozen COC)
     lam: jax.Array         # [Mheap] node length scales (half-diagonal)
     p2p_tgt: jax.Array     # [Kp] leaf index of target
@@ -70,6 +78,8 @@ class FmmState(NamedTuple):
     m2l_tgt: jax.Array     # [Km] heap index of target
     m2l_src: jax.Array     # [Km] heap index of source
     m2l_valid: jax.Array   # [Km] bool
+    p2p_row_ptr: jax.Array  # [G+1] CSR over the valid prefix of p2p_src
+    p2p_col2d: jax.Array    # [G, Dmax] partner leaf ids (Pallas path)
 
 
 @dataclasses.dataclass
@@ -87,7 +97,7 @@ class _Static:
 
 
 @functools.lru_cache(maxsize=32)
-def _static_structure(n: int, L: int) -> _Static:
+def _static_structure(n: int, L: int, pad_to: int = 1) -> _Static:
     beg = []
     seg = []
     for l in range(L + 1):
@@ -97,13 +107,14 @@ def _static_structure(n: int, L: int) -> _Static:
         s = np.repeat(np.arange(m, dtype=np.int32), np.diff(b))
         seg.append(s)
     C = -(-n // (1 << L))
+    C = -(-C // pad_to) * pad_to  # lane alignment for the Pallas P2P path
     G = 1 << L
     slot = beg[L][:-1][:, None] + np.arange(C)[None, :]      # [G, C]
     mask = slot < beg[L][1:][:, None]
-    pad_gather = np.minimum(slot, n - 1).reshape(-1)
+    pad_gather = np.minimum(slot, n - 1).reshape(-1).astype(np.int32)
     pad_mask = mask.reshape(-1)
     # inverse: sorted slot -> its padded slot
-    unpad = np.zeros(n, dtype=np.int64)
+    unpad = np.zeros(n, dtype=np.int32)
     padded_ids = np.arange(G * C)[pad_mask.reshape(-1)]
     unpad[slot.reshape(-1)[pad_mask.reshape(-1)]] = padded_ids
     mult = np.concatenate([np.diff(beg[l]) for l in range(L + 1)]).astype(np.int32)
@@ -119,6 +130,56 @@ def _heap_off(l: int) -> int:
 # --------------------------------------------------------------------------- #
 # Device tree build (sorting + geometry)
 # --------------------------------------------------------------------------- #
+
+
+def _morton_key(pos: jax.Array, bits: int, dim: int) -> jax.Array:
+    """Morton (Z-order) keys from box-normalized coordinates, uint32."""
+    mn = jnp.min(pos, axis=0)
+    mx = jnp.max(pos, axis=0)
+    extent = jnp.maximum(mx - mn, 1e-30)
+    q = jnp.clip(((pos - mn) / extent * (1 << bits)).astype(jnp.uint32),
+                 0, (1 << bits) - 1)                       # [n, dim]
+    key = jnp.zeros(pos.shape[0], dtype=jnp.uint32)
+    for b in range(bits):
+        for a in range(dim):
+            bit = (q[:, a] >> b) & 1
+            key = key | (bit << (b * dim + a)).astype(jnp.uint32)
+    return key
+
+
+@functools.partial(jax.jit, static_argnames=("n", "L", "dim"))
+def _build_device_morton(pos: jax.Array, n: int, L: int, dim: int):
+    """One Morton sort; tree = equal-count splits of the sorted order.
+
+    Replaces the reference's per-level segmented sorts (bb_segsort) with a
+    single space-filling-curve sort — the MAC uses the true per-node bounds
+    computed afterwards, so correctness is unaffected; only pair counts
+    change marginally.
+    """
+    st = _static_structure(n, L)
+    bits = 10 if dim == 3 else 16
+    key = _morton_key(pos, bits, dim)
+    perm = jnp.argsort(key).astype(jnp.int32)
+    pos_s = pos[perm]
+
+    centers, lams, lbs, rbs = [], [], [], []
+    for l in range(L + 1):
+        m = 1 << l
+        seg = jnp.asarray(st.seg[l])
+        mn = jax.ops.segment_min(pos_s, seg, num_segments=m,
+                                 indices_are_sorted=True)
+        mx = jax.ops.segment_max(pos_s, seg, num_segments=m,
+                                 indices_are_sorted=True)
+        cnt = jnp.asarray(np.diff(st.beg[l]).astype(np.float32))[:, None]
+        mean = jax.ops.segment_sum(pos_s, seg, num_segments=m,
+                                   indices_are_sorted=True) / cnt
+        centers.append(mean)
+        lams.append(jnp.maximum(0.5 * jnp.linalg.norm(mx - mn, axis=1), 1e-30))
+        lbs.append(mn)
+        rbs.append(mx)
+    return (perm, jnp.concatenate(centers, axis=0),
+            jnp.concatenate(lams, axis=0), jnp.concatenate(lbs, axis=0),
+            jnp.concatenate(rbs, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "L", "dim"))
@@ -284,26 +345,57 @@ class KdFmmEngine:
         acc = eng.force(pos, fstate)     # pure & jitted
     """
 
-    def __init__(self, config: SimConfig, n: int, L: Optional[int] = None):
+    def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
+                 leaf_target: int = 128, m2l_chunk: int = 65536,
+                 p2p_chunk: int = 256, sort_mode: str = "auto",
+                 use_pallas: Optional[bool] = None):
         self.config = config
         self.n = n
         self.dim = config.dim
         self.p = max(config.fmm_order, 2)
-        self.L = L or auto_level(n, self.p, config.dens_inhom, config.tree_L)
+        self.L = L or auto_level(n, self.p, config.dens_inhom,
+                                 config.tree_L, leaf_target)
         self.tables = build_tables(self.dim, self.p)
-        self.st = _static_structure(n, self.L)
+        self.use_pallas = (use_pallas if use_pallas is not None
+                           else jax.default_backend() == "tpu")
+        self.st = _static_structure(n, self.L,
+                                    pad_to=128 if self.use_pallas else 1)
         self.caps = {"p2p": 256, "m2l": 256}
+        self.m2l_chunk = m2l_chunk
+        self.p2p_chunk = p2p_chunk
+        self.sort_mode = sort_mode
         self._force_jit = jax.jit(self._force_impl)
 
     # ---------------- build ----------------
     def build(self, pos: jax.Array) -> FmmState:
-        perm, center, lam, lb, rb = _build_device(
-            pos, self.n, self.L, self.dim)
-        c_h = np.asarray(center)
-        lb_h, rb_h = np.asarray(lb), np.asarray(rb)
-        m2l, p2p = _traverse_host(
-            c_h, lb_h, rb_h, self.st.mult, self.L, self.n, self.p,
-            float(self.config.tree_radius), self.config.coll)
+        """Tree (re)build.
+
+        sort_mode:
+          * "auto" (default): exact kd via the native C++ builder when
+            available (host round-trip; quickselect per level — the
+            parasort/bb_segsort replacement), else device Morton.
+          * "kd_native", "morton", "kd_device": forced choices.
+        """
+        mode = self.sort_mode
+        from coulomb_oscillators_tpu import native as conative
+        use_native = (mode in ("auto", "kd_native")
+                      and conative.get_lib() is not None)
+        if use_native:
+            pos_h = np.asarray(pos, dtype=np.float32)
+            perm_h = conative.kdtree_build(pos_h, self.L)
+            pos_s_h = pos_h[perm_h]
+            c_h, lb_h, rb_h, lam_h = conative.node_geometry(pos_s_h, self.L)
+            perm = jnp.asarray(perm_h)
+            center = jnp.asarray(c_h)
+            lam = jnp.asarray(lam_h)
+        else:
+            build_fn = (_build_device if mode == "kd_device"
+                        else _build_device_morton)
+            perm, center, lam, lb, rb = build_fn(pos, self.n, self.L,
+                                                 self.dim)
+            c_h = np.asarray(center)
+            lb_h, rb_h = np.asarray(lb), np.asarray(rb)
+        m2l, p2p = self._traverse(c_h, lb_h, rb_h)
         self.last_counts = {"m2l": int(m2l.shape[0]), "p2p": int(p2p.shape[0])}
         for name, arr in (("m2l", m2l), ("p2p", p2p)):
             if arr.shape[0] > self.caps[name]:
@@ -312,13 +404,57 @@ class KdFmmEngine:
         G = 1 << self.L
         m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
         p2p_t, p2p_s, p2p_v = _pad_pairs(p2p, self.caps["p2p"], G)
+        row_ptr = np.searchsorted(p2p[:, 0], np.arange(G + 1),
+                                  side="left").astype(np.int32)
+        degrees = np.diff(row_ptr)
+        dmax = int(degrees.max()) if degrees.size else 1
+        dmax = max(128, -(-dmax // 128) * 128)
+        if dmax > self.caps.get("dmax", 0):
+            self.caps["dmax"] = dmax
+        dmax = self.caps["dmax"]
+        col2d = np.zeros((G, dmax), dtype=np.int32)
+        for gnode in np.nonzero(degrees)[0]:
+            col2d[gnode, :degrees[gnode]] = \
+                p2p[row_ptr[gnode]:row_ptr[gnode + 1], 1]
+        perm_h2 = np.asarray(perm)
+        inv_perm = np.empty_like(perm_h2)
+        inv_perm[perm_h2] = np.arange(self.n, dtype=perm_h2.dtype)
         return FmmState(
-            perm=perm, center=center, lam=lam,
+            perm=perm, inv_perm=jnp.asarray(inv_perm), center=center, lam=lam,
             p2p_tgt=jnp.asarray(p2p_t), p2p_src=jnp.asarray(p2p_s),
             p2p_valid=jnp.asarray(p2p_v),
             m2l_tgt=jnp.asarray(m2l_t), m2l_src=jnp.asarray(m2l_s),
             m2l_valid=jnp.asarray(m2l_v),
+            p2p_row_ptr=jnp.asarray(row_ptr),
+            p2p_col2d=jnp.asarray(col2d),
         )
+
+    def _traverse(self, c_h, lb_h, rb_h):
+        """Dual-tree traversal: native C++ when available, numpy fallback.
+        Returns pair lists expanded to both directions and target-sorted."""
+        from coulomb_oscillators_tpu import native as conative
+        out = conative.traverse(c_h, lb_h, rb_h, self.st.mult, self.L,
+                                self.n, self.dim, self.p,
+                                float(self.config.tree_radius))
+        if out is None:
+            return _traverse_host(
+                c_h, lb_h, rb_h, self.st.mult, self.L, self.n, self.p,
+                float(self.config.tree_radius), self.config.coll)
+        m2l, p2p = out
+        leaf0 = _heap_off(self.L)
+        m2l_full = np.concatenate([m2l, m2l[:, ::-1]], axis=0)
+        nonself = p2p[p2p[:, 0] != p2p[:, 1]]
+        selfp = p2p[p2p[:, 0] == p2p[:, 1]]
+        if not self.config.coll:
+            p2p_full = np.zeros((0, 2), np.int64)
+        else:
+            p2p_full = np.concatenate([nonself, nonself[:, ::-1], selfp],
+                                      axis=0)
+        if m2l_full.size:
+            m2l_full = m2l_full[np.argsort(m2l_full[:, 0], kind="stable")]
+        if p2p_full.size:
+            p2p_full = p2p_full[np.argsort(p2p_full[:, 0], kind="stable")]
+        return m2l_full, p2p_full
 
     # ---------------- force ----------------
     def force(self, pos: jax.Array, fstate: FmmState) -> jax.Array:
@@ -326,28 +462,42 @@ class KdFmmEngine:
         includes kappa) in the ORIGINAL particle order."""
         return self._force_jit(pos, fstate)
 
+    def force_in_jit(self, pos: jax.Array, fs: FmmState) -> jax.Array:
+        """Traceable force (for composition inside an outer jit)."""
+        return self._force_impl(pos, fs)
+
     def _force_impl(self, pos: jax.Array, fs: FmmState) -> jax.Array:
-        t = self.tables
-        st = self.st
-        n, L, dim, C = self.n, self.L, self.dim, st.C
-        G = 1 << L
-        leaf0 = _heap_off(L)
+        n = self.n
         dtype = pos.dtype
-        eps2 = dtype.type(self.config.eps2)
         kappa = dtype.type(self.config.kappa(n))
+        pos_s = jnp.take(pos, fs.perm, axis=0)
+        mpole_heap = self._stage_multipoles(pos_s, fs)
+        local_heap = self._stage_m2l(mpole_heap, fs)
+        acc_far = self._stage_local(pos_s, local_heap, fs)
+        acc_near = self._stage_p2p(pos_s, fs)
+        acc_s = (acc_far + acc_near) * kappa
+        return jnp.take(acc_s, fs.inv_perm, axis=0)
 
-        pos_s = pos[fs.perm]                                  # [n, dim]
+    # ---- pipeline stages (separately jittable for perf work) ----
+
+    def _leaf_frame(self, pos_s, fs):
+        st = self.st
+        L = self.L
+        leaf0 = _heap_off(L)
         segL = jnp.asarray(st.seg[L])
-        leaf_center = fs.center[leaf0 + segL]                 # [n, dim]
-        leaf_lam = fs.lam[leaf0 + segL]                       # [n]
+        leaf_center = jnp.take(fs.center, leaf0 + segL, axis=0)
+        leaf_lam = jnp.take(fs.lam, leaf0 + segL, axis=0)
+        return segL, (pos_s - leaf_center) / leaf_lam[:, None], leaf_lam
 
-        # ---- P2M (leaves) ----
-        e = (pos_s - leaf_center) / leaf_lam[:, None]
+    def _stage_multipoles(self, pos_s: jax.Array, fs: FmmState) -> jax.Array:
+        """P2M at leaves + M2M up; returns mpole_heap [Mheap, S_M]."""
+        t = self.tables
+        L = self.L
+        G = 1 << L
+        segL, e, _ = self._leaf_frame(pos_s, fs)
         contrib = mop.p2m_contrib(t, e)                       # [n, S_M]
         mpole_leaf = jax.ops.segment_sum(contrib, segL, num_segments=G,
                                          indices_are_sorted=True)
-
-        # ---- M2M up ----
         mpoles = [None] * (L + 1)
         mpoles[L] = mpole_leaf
         for l in range(L - 1, -1, -1):
@@ -364,18 +514,24 @@ class KdFmmEngine:
             rho = cl / parent_l
             shifted = mop.m2m(t, mpoles[l + 1], s, rho)       # [2m, S_M]
             mpoles[l] = shifted.reshape(m, 2, -1).sum(axis=1)
-        mpole_heap = jnp.concatenate(mpoles, axis=0)          # [Mheap, S_M]
+        return jnp.concatenate(mpoles, axis=0)                # [Mheap, S_M]
 
-        # ---- M2L over pair list (chunked) ----
+    def _stage_m2l(self, mpole_heap: jax.Array, fs: FmmState) -> jax.Array:
+        """M2L over the pair list; returns local_heap [Mheap, S_Lt]."""
+        t = self.tables
+        L = self.L
+        dim = self.dim
+        dtype = mpole_heap.dtype
         Mheap = _heap_off(L + 1)
-        Rfull = fs.center[jnp.minimum(fs.m2l_tgt, Mheap - 1)] - \
-            fs.center[fs.m2l_src]
+        tgt_cl = jnp.minimum(fs.m2l_tgt, Mheap - 1)
+        Rfull = jnp.take(fs.center, tgt_cl, axis=0) - \
+            jnp.take(fs.center, fs.m2l_src, axis=0)
         Rsafe = jnp.where(fs.m2l_valid[:, None], Rfull, jnp.ones_like(Rfull))
-        lam_s = fs.lam[fs.m2l_src]
-        lam_t = fs.lam[jnp.minimum(fs.m2l_tgt, Mheap - 1)]
-        Msrc = mpole_heap[fs.m2l_src]
+        lam_s = jnp.take(fs.lam, fs.m2l_src, axis=0)
+        lam_t = jnp.take(fs.lam, tgt_cl, axis=0)
+        Msrc = jnp.take(mpole_heap, fs.m2l_src, axis=0)
 
-        chunk = 8192
+        chunk = min(self.m2l_chunk, Rsafe.shape[0])
         K = Rsafe.shape[0]
         kpad = -(-K // chunk) * chunk
 
@@ -387,19 +543,28 @@ class KdFmmEngine:
         lsc = pad0(lam_s).reshape(kpad // chunk, chunk)
         ltc = pad0(lam_t).reshape(kpad // chunk, chunk)
         vc = pad0(fs.m2l_valid).reshape(kpad // chunk, chunk)
+        tc = pad0(jnp.minimum(fs.m2l_tgt, Mheap)).reshape(kpad // chunk, chunk)
 
-        def m2l_chunk(args):
-            Mx, Rx, ls, lt, vv = args
-            out = mop.m2l(t, Mx, Rx, ls, lt)
-            return out * vv[:, None]
+        # scan-accumulate per chunk; the pair list is target-sorted, so each
+        # chunk reduces with a sorted segment_sum and a dense add (no big
+        # scatter), and peak memory stays O(chunk + Mheap).
+        def m2l_body(acc, args):
+            Mx, Rx, ls, lt, vv, tg = args
+            out = mop.m2l(t, Mx, Rx, ls, lt) * vv[:, None]
+            part = jax.ops.segment_sum(out, tg, num_segments=Mheap + 1,
+                                       indices_are_sorted=True)
+            return acc + part, None
 
-        Lc = jax.lax.map(m2l_chunk, (Mc, Rc, lsc, ltc, vc))
-        Lcontrib = Lc.reshape(kpad, -1)[:K]
-        local_heap = jax.ops.segment_sum(
-            Lcontrib, fs.m2l_tgt, num_segments=Mheap + 1,
-            indices_are_sorted=True)[:Mheap]
+        local_init = jnp.zeros((Mheap + 1, t.S_Lt), dtype)
+        local_heap, _ = jax.lax.scan(
+            m2l_body, local_init, (Mc, Rc, lsc, ltc, vc, tc))
+        return local_heap[:Mheap]
 
-        # ---- L2L down ----
+    def _stage_local(self, pos_s: jax.Array, local_heap: jax.Array,
+                     fs: FmmState) -> jax.Array:
+        """L2L down + L2P; returns far-field acceleration per sorted slot."""
+        t = self.tables
+        L = self.L
         locs = local_heap[0:1]
         local_levels = [locs]
         for l in range(1, L + 1):
@@ -418,32 +583,54 @@ class KdFmmEngine:
             local_levels.append(locs)
         leaf_local = local_levels[L]                          # [G, S_Lt]
 
-        # ---- L2P ----
-        w = (pos_s - leaf_center) / leaf_lam[:, None]
-        Lt_per_particle = leaf_local[segL]
-        acc_far = mop.l2p_field(t, Lt_per_particle, w, leaf_lam)
+        segL, w, leaf_lam = self._leaf_frame(pos_s, fs)
+        Lt_per_particle = jnp.take(leaf_local, segL, axis=0)
+        return mop.l2p_field(t, Lt_per_particle, w, leaf_lam)
 
-        # ---- P2P on padded leaf blocks ----
+    def _stage_p2p(self, pos_s: jax.Array, fs: FmmState) -> jax.Array:
+        """Near-field pass over padded leaf blocks; acceleration per sorted
+        slot.  On TPU this is the Pallas gather kernel (p2p_pallas.py); the
+        jnp scan below is the portable fallback."""
+        st = self.st
+        n, L, dim, C = self.n, self.L, self.dim, st.C
+        G = 1 << L
+        dtype = pos_s.dtype
+        eps2 = dtype.type(self.config.eps2)
         pad_gather = jnp.asarray(st.pad_gather)
         pad_mask = jnp.asarray(st.pad_mask)
-        pos_pad = jnp.where(pad_mask[:, None], pos_s[pad_gather],
+
+        if self.use_pallas:
+            from coulomb_oscillators_tpu.ops.fmm import p2p_pallas
+            far = dtype.type(FAR)
+            flat = jnp.where(pad_mask[:, None],
+                             jnp.take(pos_s, pad_gather, axis=0), far)
+            rows = jnp.zeros((G * C, 8), dtype).at[:, :dim].set(flat)
+            rows = jnp.where(pad_mask[:, None], rows, far).reshape(G, C, 8)
+            soa = jnp.swapaxes(rows.reshape(G, C, 8), 1, 2)   # [G, 8, C]
+            out = p2p_pallas.p2p_leaf_pairs(
+                rows, soa, fs.p2p_row_ptr, fs.p2p_col2d,
+                dim=dim, eps2=float(self.config.eps2))
+            return jnp.take(out[:, :, :dim].reshape(G * C, dim),
+                            jnp.asarray(st.unpad_gather), axis=0)
+
+        pos_pad = jnp.where(pad_mask[:, None],
+                            jnp.take(pos_s, pad_gather, axis=0),
                             dtype.type(FAR)).reshape(G, C, dim)
 
         tgt = jnp.minimum(fs.p2p_tgt, G - 1)
         src = fs.p2p_src
 
-        pchunk = 512
+        pchunk = min(self.p2p_chunk, tgt.shape[0])
         Q = tgt.shape[0]
         qpad = -(-Q // pchunk) * pchunk
-        tgt_c = jnp.pad(tgt, (0, qpad - Q)).reshape(-1, pchunk)
+        tgt_c = jnp.pad(tgt, (0, qpad - Q), constant_values=G).reshape(-1, pchunk)
         src_c = jnp.pad(src, (0, qpad - Q)).reshape(-1, pchunk)
         val_c = jnp.pad(fs.p2p_valid, (0, qpad - Q)).reshape(-1, pchunk)
 
-        def p2p_chunk(args):
+        def p2p_body(acc, args):
             ti, si, vv = args
-            P_t = pos_pad[ti]                                 # [pc, C, dim]
-            P_s = pos_pad[si]
-            acc = jnp.zeros_like(P_t)
+            P_t = jnp.take(pos_pad, jnp.minimum(ti, G - 1), axis=0)
+            P_s = jnp.take(pos_pad, si, axis=0)
             dist2 = eps2
             ds = []
             for a in range(dim):
@@ -456,35 +643,13 @@ class KdFmmEngine:
             else:
                 wgt = inv
             wgt = wgt * vv[:, None, None]
-            comps = [jnp.sum(ds[a] * wgt, axis=2) for a in range(dim)]
-            return jnp.stack(comps, axis=-1)                  # [pc, C, dim]
+            f = jnp.stack([jnp.sum(ds[a] * wgt, axis=2)
+                           for a in range(dim)], axis=-1)     # [pc, C, dim]
+            part = jax.ops.segment_sum(f, ti, num_segments=G + 1,
+                                       indices_are_sorted=True)
+            return acc + part, None
 
-        fchunks = jax.lax.map(p2p_chunk, (tgt_c, src_c, val_c))
-        fpairs = fchunks.reshape(qpad, C, dim)[:Q]
-        acc_pad = jax.ops.segment_sum(fpairs, tgt, num_segments=G,
-                                      indices_are_sorted=True)
-        acc_near = acc_pad.reshape(G * C, dim)[jnp.asarray(st.unpad_gather)]
-
-        acc_s = (acc_far + acc_near) * kappa
-        acc = jnp.zeros_like(acc_s).at[fs.perm].set(acc_s)
-        return acc
-
-
-# --------------------------------------------------------------------------- #
-# registry hook for models.oscillator
-# --------------------------------------------------------------------------- #
-
-
-def make_engine(config: SimConfig, n: int, name: str):
-    """Return a pos -> acc callable (rebuilds the tree every call; for the
-    amortized path use KdFmmEngine directly)."""
-    if name in ("fmm3_kd", "fmm2_kd", "fmm_kd"):
-        eng = KdFmmEngine(config, n)
-
-        def force(pos):
-            fstate = eng.build(pos)
-            return eng.force(pos, fstate)
-
-        force.engine = eng
-        return force
-    raise ValueError(f"unknown FMM engine {name!r}")
+        acc_init = jnp.zeros((G + 1, C, dim), dtype)
+        acc_pad, _ = jax.lax.scan(p2p_body, acc_init, (tgt_c, src_c, val_c))
+        return jnp.take(acc_pad[:G].reshape(G * C, dim),
+                        jnp.asarray(st.unpad_gather), axis=0)

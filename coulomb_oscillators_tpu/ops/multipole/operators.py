@@ -55,10 +55,10 @@ def m2m(t: FmmTables, M: jax.Array, s: jax.Array, rho: jax.Array) -> jax.Array:
     s = (x_child - x_parent)/lam_parent ; rho = lam_child/lam_parent.
     """
     Vs = eval_monomials_M(t, -s)                          # [B, S_M]
-    G = Vs[:, _j(t.m2m_idx, jnp.int32)]                   # [B, S_M, S_M]
-    K = G * _j(t.m2m_coef, M.dtype)[None]
+    W = _j(t.m2m_W, M.dtype).reshape(t.S_M, -1)
+    K = (Vs @ W).reshape(-1, t.S_M, t.S_M)                # [B, out, in]
     Mpre = M * (rho[:, None] ** _j(t.m_order, M.dtype)[None, :])
-    return jnp.einsum("bij,bj->bi", K, Mpre)
+    return jnp.sum(K * Mpre[:, None, :], axis=2)
 
 
 def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
@@ -71,11 +71,12 @@ def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
     r = jnp.linalg.norm(R, axis=-1)
     Rh = R / r[:, None]
     H = hm.eval_H(Rh, t.maxH, t.dim)                      # [B, S_H]
-    K = H[:, _j(t.m2l_idx, jnp.int32)] * _j(t.m2l_coef, M.dtype)[None]
+    W = _j(t.m2l_W, M.dtype).reshape(t.S_H, -1)
+    K = (H @ W).reshape(-1, t.S_Lt, t.S_M)                # MXU matmul
     v = lam_src / r
     u = lam_tgt / r
     Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
-    L = jnp.einsum("bij,bj->bi", K, Mv)
+    L = jnp.sum(K * Mv[:, None, :], axis=2)
     L = L * (u[:, None] ** _j(t.nt_order, M.dtype)[None, :])
     if t.dim == 3:
         L = L / r[:, None]
@@ -100,9 +101,9 @@ def l2l(t: FmmTables, Lt_parent: jax.Array, s: jax.Array,
     """
     Lf = expand_L(t, Lt_parent)
     Vs = eval_monomials_L(t, s)
-    G = Vs[:, _j(t.l2l_idx, jnp.int32)]                   # [B, S_Lt, S_Lf]
-    K = G * _j(t.l2l_coef, Lf.dtype)[None]
-    out = jnp.einsum("bij,bj->bi", K, Lf)
+    W = _j(t.l2l_W, Lf.dtype).reshape(t.S_Lf, -1)
+    K = (Vs @ W).reshape(-1, t.S_Lt, t.S_Lf)
+    out = jnp.sum(K * Lf[:, None, :], axis=2)
     return out * (rho[:, None] ** _j(t.nt_order, Lf.dtype)[None, :])
 
 
@@ -134,13 +135,10 @@ def m2p_field(t: FmmTables, M: jax.Array, R: jax.Array,
     Rh = R / r[:, None]
     H = hm.eval_H(Rh, t.maxH, t.dim)
     v = lam_src / r
-    Mv = M * _j(t.m2p_coef, M.dtype)[None] * \
-        (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
-    comps = []
-    for ax in range(t.dim):
-        Hax = H[:, _j(t.m2p_idx[ax], jnp.int32)]          # [B, S_M]
-        comps.append(-jnp.sum(Mv * Hax, axis=-1))
-    F = jnp.stack(comps, axis=-1)
+    Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
+    W = _j(t.m2p_W, M.dtype).reshape(t.S_H, -1)
+    K = (H @ W).reshape(-1, t.dim, t.S_M)
+    F = -jnp.sum(K * Mv[:, None, :], axis=2)
     eta = 1 if t.dim == 3 else 0
     return F / (r[:, None] ** (eta + 1))
 

@@ -76,6 +76,12 @@ class FmmTables:
     m2p_idx: np.ndarray        # [dim, S_M] -> H slot
     m2p_coef: np.ndarray       # [S_M] mult(g)
     numcoef: np.ndarray        # [S_H, S_H] monomials -> H
+    # dense matmul forms (W[k, i, j] = coef[i, j] iff idx[i, j] == k) so the
+    # per-pair operator construction is ONE MXU matmul instead of a gather.
+    m2l_W: np.ndarray          # [S_H, S_Lt, S_M]
+    m2m_W: np.ndarray          # [S_M, S_M, S_M]   (V slot, out, in)
+    l2l_W: np.ndarray          # [S_Lf, S_Lt, S_Lf]
+    m2p_W: np.ndarray          # [S_H, dim, S_M]
 
 
 @functools.lru_cache(maxsize=None)
@@ -160,6 +166,19 @@ def build_tables(dim: int, p: int, truncate: bool = True) -> FmmTables:
 
     numcoef = hm.numerator_matrix(maxH, dim)
 
+    def densify(idx, coef, K):
+        out = np.zeros((K,) + coef.shape)
+        it = np.nditer(coef, flags=["multi_index"])
+        for c in it:
+            if c != 0:
+                out[(idx[it.multi_index],) + it.multi_index] = c
+        return out
+
+    m2l_W = densify(m2l_idx, m2l_coef, S_H)
+    m2m_W = densify(m2m_idx, m2m_coef, S_M)
+    l2l_W = densify(l2l_idx, l2l_coef, S_Lf)
+    m2p_W = densify(m2p_idx, np.broadcast_to(m2p_coef, (dim, S_M)), S_H)
+
     return FmmTables(
         dim=dim, p=p, PM=PM, PL=PL,
         S_M=S_M, S_Lt=S_Lt, S_Lf=S_Lf, S_H=S_H, maxH=maxH,
@@ -172,4 +191,5 @@ def build_tables(dim: int, p: int, truncate: bool = True) -> FmmTables:
         l2p_D=l2p_D, l2p_mult=l2p_mult,
         m2p_idx=m2p_idx, m2p_coef=m2p_coef,
         numcoef=numcoef,
+        m2l_W=m2l_W, m2m_W=m2m_W, l2l_W=l2l_W, m2p_W=m2p_W,
     )

@@ -33,9 +33,9 @@ class Simulator:
         self._fstate = None
         self._steps_since_build = 0
 
-        if engine.startswith("fmm"):
-            from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
-            self._fmm = KdFmmEngine(config, n)
+        if engine.startswith("fmm") or engine == "appel":
+            from coulomb_oscillators_tpu.ops import fmm as fmm_mod
+            self._fmm = fmm_mod.make_engine_object(config, n, engine)
             self._scan_step = self._make_fmm_scan()
         else:
             from coulomb_oscillators_tpu.models.oscillator import (
@@ -57,7 +57,7 @@ class Simulator:
         omega0_sq = self.omega0_sq
 
         def force(pos, fstate):
-            acc = eng._force_impl(pos, fstate)
+            acc = eng.force_in_jit(pos, fstate)
             return add_elastic(pos, acc, omega0_sq)
 
         @functools.partial(jax.jit, static_argnames=("k",))

@@ -16,7 +16,14 @@ import pytest
 from coulomb_oscillators_tpu.ops.multipole import operators as op
 from coulomb_oscillators_tpu.ops.multipole.tables import build_tables
 
-jax.config.update("jax_enable_x64", True)
+@pytest.fixture(autouse=True)
+def _x64():
+    """These math-validation tests need float64 (other modules may toggle
+    the global flag; re-assert per test)."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 
 def direct_ref(src, q, pts, dim):

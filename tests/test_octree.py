@@ -1,0 +1,54 @@
+"""Uniform-grid octree/quadtree FMM engines: accuracy vs direct oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from coulomb_oscillators_tpu import SimConfig
+from coulomb_oscillators_tpu.ops import direct as D
+from coulomb_oscillators_tpu.ops.fmm.octree import OctreeFmmEngine
+from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
+from coulomb_oscillators_tpu.models import init_dist as ID
+
+N = 2000
+
+
+def _uniform(dim):
+    return jnp.asarray(ID.init_uniform(N, (-1,) * dim, (1,) * dim, dim=dim))
+
+
+@pytest.mark.parametrize("dim,L", [(3, 3), (2, 4)])
+def test_octree_converges(dim, L):
+    pos = _uniform(dim)
+    omega = (1.095, 1.0, 1.0)[:dim]
+    cfg = SimConfig(dim=dim, omega0=omega)
+    ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
+    errs = []
+    for p in (3, 5):
+        eng = OctreeFmmEngine(cfg.replace(fmm_order=p), N, L=L)
+        st = eng.build(pos)
+        acc = eng.force(pos, st)
+        errs.append(float(mean_rel_err(acc, ref)))
+    assert errs[1] < errs[0] * 0.5, errs
+    assert errs[1] < 2e-3, errs
+
+
+def test_appel_is_monopole_octree():
+    from coulomb_oscillators_tpu.ops.fmm import make_engine_object
+    cfg = SimConfig()
+    eng = make_engine_object(cfg, N, "appel")
+    assert isinstance(eng, OctreeFmmEngine)
+    assert eng.p == 2
+    pos = _uniform(3)
+    acc = eng.force(pos, eng.build(pos))
+    ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
+    assert float(mean_rel_err(acc, ref)) < 0.2  # monopole-grade accuracy
+
+
+def test_octree_engine_registry():
+    from coulomb_oscillators_tpu.ops.fmm import make_engine_object
+    cfg = SimConfig()
+    for name in ("fmm3", "fmm3_traceless"):
+        assert isinstance(make_engine_object(cfg, N, name), OctreeFmmEngine)
+    cfg2 = SimConfig(dim=2, omega0=(1.095, 1.0))
+    assert isinstance(make_engine_object(cfg2, N, "fmm2"), OctreeFmmEngine)
