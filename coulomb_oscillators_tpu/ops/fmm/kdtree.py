@@ -376,15 +376,21 @@ class KdFmmEngine:
             parasort/bb_segsort replacement), else device Morton.
           * "kd_native", "morton", "kd_device": forced choices.
         """
+        import time as _time
+        bt = {}
+        t0 = _time.perf_counter()
         mode = self.sort_mode
         from coulomb_oscillators_tpu import native as conative
         use_native = (mode in ("auto", "kd_native")
                       and conative.get_lib() is not None)
         if use_native:
             pos_h = np.asarray(pos, dtype=np.float32)
+            bt["fetch"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
             perm_h = conative.kdtree_build(pos_h, self.L)
+            bt["kd"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
             pos_s_h = pos_h[perm_h]
             c_h, lb_h, rb_h, lam_h = conative.node_geometry(pos_s_h, self.L)
+            bt["geom"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
             perm = jnp.asarray(perm_h)
             center = jnp.asarray(c_h)
             lam = jnp.asarray(lam_h)
@@ -395,7 +401,10 @@ class KdFmmEngine:
                                                  self.dim)
             c_h = np.asarray(center)
             lb_h, rb_h = np.asarray(lb), np.asarray(rb)
+            bt["device_build"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
         m2l, p2p = self._traverse(c_h, lb_h, rb_h)
+        bt["traverse"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
         self.last_counts = {"m2l": int(m2l.shape[0]), "p2p": int(p2p.shape[0])}
         for name, arr in (("m2l", m2l), ("p2p", p2p)):
             if arr.shape[0] > self.caps[name]:
@@ -413,13 +422,14 @@ class KdFmmEngine:
             self.caps["dmax"] = dmax
         dmax = self.caps["dmax"]
         col2d = np.zeros((G, dmax), dtype=np.int32)
-        for gnode in np.nonzero(degrees)[0]:
-            col2d[gnode, :degrees[gnode]] = \
-                p2p[row_ptr[gnode]:row_ptr[gnode + 1], 1]
+        if p2p.shape[0]:
+            ranks = np.arange(p2p.shape[0]) - row_ptr[p2p[:, 0]]
+            col2d[p2p[:, 0], ranks] = p2p[:, 1]
         perm_h2 = np.asarray(perm)
         inv_perm = np.empty_like(perm_h2)
         inv_perm[perm_h2] = np.arange(self.n, dtype=perm_h2.dtype)
-        return FmmState(
+        bt["lists"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        out = FmmState(
             perm=perm, inv_perm=jnp.asarray(inv_perm), center=center, lam=lam,
             p2p_tgt=jnp.asarray(p2p_t), p2p_src=jnp.asarray(p2p_s),
             p2p_valid=jnp.asarray(p2p_v),
@@ -428,6 +438,10 @@ class KdFmmEngine:
             p2p_row_ptr=jnp.asarray(row_ptr),
             p2p_col2d=jnp.asarray(col2d),
         )
+        jax.block_until_ready(out.p2p_col2d)
+        bt["upload"] = _time.perf_counter() - t0
+        self.last_build_times = bt
+        return out
 
     def _traverse(self, c_h, lb_h, rb_h):
         """Dual-tree traversal: native C++ when available, numpy fallback.

@@ -44,11 +44,11 @@ class Simulator:
             step = I.make_step(force, config.integrator, config.dt)
             self._plain_step = jax.jit(step)
 
-            @functools.partial(jax.jit, static_argnames=("k",))
+            @jax.jit
             def scan_k(state, k):
-                return I.nsteps(step, state, k)
+                return jax.lax.fori_loop(0, k, lambda _, s: step(s), state)
 
-            self._plain_scan = scan_k
+            self._plain_scan = lambda state, k: scan_k(state, jnp.int32(k))
 
     # ------------------------------------------------------------------ #
     def _make_fmm_scan(self):
@@ -60,13 +60,14 @@ class Simulator:
             acc = eng.force_in_jit(pos, fstate)
             return add_elastic(pos, acc, omega0_sq)
 
-        @functools.partial(jax.jit, static_argnames=("k",))
+        @jax.jit
         def scan_k(state, fstate, k):
+            # k is traced: ONE compile covers every inter-rebuild stride
             step = I.make_step(lambda p: force(p, fstate),
                                cfg.integrator, cfg.dt)
-            return I.nsteps(step, state, k)
+            return jax.lax.fori_loop(0, k, lambda _, s: step(s), state)
 
-        return scan_k
+        return lambda state, fstate, k: scan_k(state, fstate, jnp.int32(k))
 
     # ------------------------------------------------------------------ #
     def init_acc(self, state: ParticleState) -> ParticleState:
@@ -86,7 +87,7 @@ class Simulator:
     def run(self, state: ParticleState, steps: int) -> ParticleState:
         """Advance `steps` iterations, rebuilding the tree as configured."""
         if self._fmm is None:
-            return self._plain_scan(state, k=steps)
+            return self._plain_scan(state, steps)
 
         ts = max(self.config.tree_steps, 1)
         done = 0
@@ -95,7 +96,7 @@ class Simulator:
                 self._fstate = self._fmm.build(state.pos)
                 self._steps_since_build = 0
             k = min(ts - self._steps_since_build, steps - done)
-            state = self._scan_step(state, self._fstate, k=k)
+            state = self._scan_step(state, self._fstate, k)
             self._steps_since_build += k
             done += k
         return state
