@@ -5,8 +5,10 @@ Mirrors the reference CLI `nbco3 [options] [input]` (Simulation/main3.cu:
 modes (simulate / -test / -test2 / -accuracy), same snapshot output format.
 The hand-rolled char matcher becomes argparse with single-dash long flags.
 
-2D variant flags from main.cu (-A/-omega KV parameters) are exposed via
---dim 2 plus -A/-omega-kv.
+The 2D driver (main.cu) is reached via -dim 2: the matched KV beam is the
+default initial distribution (its envelope parameters solved exactly as
+main.cu:294-315), -ga selects the rms-matched gaussian, and -emit/-tune set
+the emittances and tune depression.
 """
 
 from __future__ import annotations
@@ -73,11 +75,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", dest="u_std", type=float, nargs=3, default=None,
                    help="velocity std.dev. (ignored with [input])")
     p.add_argument("-engine", dest="engine", default=None,
-                   help="force engine: direct | direct_ref | fmm3_kd | ... "
-                        "(default: fmm3_kd, matching the reference driver)")
+                   help="force engine: direct | direct_ref | fmm3_kd | fmm3 "
+                        "| fmm3_traceless | fmm2 | fmm2_kd | appel "
+                        "(default: kd FMM, matching the reference driver)")
     p.add_argument("-dim", dest="dim", type=int, default=3, choices=[2, 3])
     p.add_argument("-seed", dest="seed", type=int, default=None,
                    help="RNG seed for initial sampling")
+    # 2D beam options (reference main.cu:294-315)
+    p.add_argument("-ga", dest="ga", action="store_true",
+                   help="2D: gaussian beam rms-matched to the KV beam "
+                        "(default for dim=2 is the KV distribution)")
+    p.add_argument("-emit", dest="emit", type=float, nargs=2,
+                   default=[0.03e-3, 0.01e-3],
+                   help="2D: emittances (ex ey)")
+    p.add_argument("-tune", dest="tune", type=float, default=0.8,
+                   help="2D: y tune depression for the matched beam")
     return p
 
 
@@ -100,30 +112,66 @@ def main(argv: Optional[list] = None) -> int:
     from coulomb_oscillators_tpu.utils.timing import test_time
 
     dim = args.dim
-    omega0 = list((1.095, 1.0, 1.0)[:dim])
+    # defaults mirror main3.cu:241 (3D) / main.cu:272 (2D)
+    if dim == 3:
+        omega0 = [1.095, 1.0, 1.0]
+    else:
+        twopi = 2 * np.pi
+        omega0 = [6.22 * twopi, 6.21 * twopi]
     if args.omega0 is not None:
         omega0[0], omega0[1] = args.omega0
     integ_name = {"eu": "euler", "fr": "forestruth"}.get(args.integ, args.integ)
 
+    beam = None
+    if dim == 2:
+        from coulomb_oscillators_tpu.models.beams import matched_beam_2d
+        beam = matched_beam_2d(omega0, args.emit, args.tune)
+        if args.xi == 2e-6:  # not overridden on the command line
+            args.xi = beam["xi"]
+        print(f"dep. phase adv.: {beam['omega'][0]}, {beam['omega'][1]}")
+        print(f"semi-axes: {beam['A'][0]}, {beam['A'][1]}")
+
+    # the reference 2D driver uses double (main.cu:34); honour that on CPU
+    # (TPUs have no native f64 — stay in f32 there)
+    use_f64 = dim == 2 and jax.default_backend() == "cpu"
+    if use_f64:
+        jax.config.update("jax_enable_x64", True)
     config = SimConfig(
         dim=dim, eps=args.eps, xi=args.xi, omega0=tuple(omega0),
         fmm_order=args.fmm_order, tree_radius=args.tree_radius,
         tree_L=args.tree_L, dens_inhom=args.dens_inhom,
         coll=not args.ncoll, dt=args.dt, integrator=integ_name,
+        precision="float64" if use_f64 else "float32",
     )
-    dtype = np.float32 if dim == 3 else np.float64
+    dtype = np.float64 if use_f64 else np.float32
+    # snapshot byte format follows the reference drivers: 2D files are
+    # float64, 3D files float32 (constants.cuh:22-28, main.cu:34) — even if
+    # device compute runs in f32
+    file_dtype = np.float64 if dim == 2 else np.float32
 
     # --- initial state (main3.cu:629-667) ---------------------------------
     if args.input:
-        pos, vel = SIO.read_state(args.input, dim=dim, dtype=dtype)
+        pos, vel = SIO.read_state(args.input, dim=dim, dtype=file_dtype)
+        pos = pos.astype(dtype)
+        vel = vel.astype(dtype)
         n = pos.shape[0]
     else:
         n = args.nbodies
-        x = tuple(args.x_std) if args.x_std else (0.003, 0.001, 0.01)[:dim]
-        u = tuple(args.u_std) if args.u_std else tuple(
-            w * xs for w, xs in zip(config.omega0, x))
         seed = args.seed if args.seed is not None else ID.DEFAULT_SEED
-        pos, vel = ID.init_gaussian(n, x, u, dim=dim, seed=seed, dtype=dtype)
+        if dim == 2 and not args.ga:
+            # 2D default: KV beam (main.cu:752)
+            pos, vel = ID.init_kv(n, beam["A"], beam["omega"], seed=seed,
+                                  dtype=dtype)
+        else:
+            if dim == 2:
+                x = tuple(beam["x_std"])
+                u = tuple(beam["u_std"])
+            else:
+                x = tuple(args.x_std) if args.x_std else (0.003, 0.001, 0.01)
+                u = tuple(args.u_std) if args.u_std else tuple(
+                    w * xs for w, xs in zip(config.omega0, x))
+            pos, vel = ID.init_gaussian(n, x, u, dim=dim, seed=seed,
+                                        dtype=dtype)
         if args.test:
             pos = ID.init_uniform(n, (-1,) * dim, (1,) * dim, dim=dim,
                                   seed=seed, dtype=dtype)
@@ -158,8 +206,8 @@ def main(argv: Optional[list] = None) -> int:
     def snapshot(it):
         print(it, end=" ", flush=True)
         SIO.write_state(SIO.snapshot_name(args.out, it, config.dt),
-                        np.asarray(state.pos, dtype=dtype),
-                        np.asarray(state.vel, dtype=dtype))
+                        np.asarray(state.pos, dtype=file_dtype),
+                        np.asarray(state.vel, dtype=file_dtype))
 
     state = sim.run(state, 1)
     snapshot(0)

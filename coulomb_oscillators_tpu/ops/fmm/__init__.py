@@ -27,7 +27,8 @@ def make_engine_object(config, n, name: str):
         cfg = config
         if name == "appel":
             cfg = config.replace(fmm_order=2)
-        return OctreeFmmEngine(cfg, n)
+        storage = "traceless" if name.endswith("_traceless") else "symmetric"
+        return OctreeFmmEngine(cfg, n, multipole_storage=storage)
     raise ValueError(f"unknown FMM engine {name!r}")
 
 

@@ -114,12 +114,13 @@ class OctreeFmmEngine:
     """Uniform-grid FMM engine for quasi-uniform distributions.
 
     Engine names: "fmm2" (dim=2 quadtree), "fmm3" (3D octree, symmetric
-    multipoles), "fmm3_traceless" (alias — same compute path; multipoles are
-    contracted against traceless harmonics throughout), "appel" (p=1).
+    multipoles), "fmm3_traceless" (harmonic-projected multipole storage,
+    2m+1 coefficients per order — numerically identical far field, smaller
+    multipole arrays), "appel" (monopole-grade, p=2).
     """
 
     def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
-                 cell_cap: int = 0):
+                 cell_cap: int = 0, multipole_storage: str = "symmetric"):
         self.config = config
         self.n = n
         self.dim = config.dim
@@ -129,9 +130,15 @@ class OctreeFmmEngine:
         self.tables = build_tables(self.dim, self.p)
         self.levels, self.offsets, self.nbrs = _grid_static(self.dim, self.L)
         self.cell_cap = cell_cap  # 0 = choose at build
+        # "traceless": store multipoles as harmonic projections with 2m+1
+        # (3D) coefficients per order — the fmm_cart3_traceless.cuh variant.
+        # Lossless for M2L (contractions against traceless harmonics) and
+        # for M2M (projection commutes with shifts modulo trace terms).
+        self.multipole_storage = multipole_storage
         self._k_m2m = None
         self._k_m2l = None
         self._k_l2l = None
+        self._p2m_proj = None
         self._force_jit = {}
 
     # ---------- constant operator matrices ----------
@@ -184,6 +191,17 @@ class OctreeFmmEngine:
             Ks.append(K)                                    # [S_M, S_Lt]
         self._k_m2l = jnp.stack(Ks)                        # [nO, S_M, S_Lt]
 
+        if self.multipole_storage == "traceless":
+            from coulomb_oscillators_tpu.ops.multipole import packing as pk
+            R = jnp.asarray(pk.traceless_extend_layout(t.PM, dim),
+                            jnp.float32)                    # [S_Mf, S_Mt]
+            P = jnp.asarray(pk.traceless_project_layout(t.PM, dim),
+                            jnp.float32)                    # [S_Mt, S_Mf]
+            self._p2m_proj = P.T                            # fold after p2m
+            # row-vector composition: out = vec_trc @ (R^T K P^T)
+            self._k_m2m = jnp.einsum("fa,cfj,bj->cab", R, self._k_m2m, P)
+            self._k_m2l = jnp.einsum("fa,cfl->cal", R, self._k_m2l)
+
     # ---------- build ----------
     def build(self, pos: jax.Array) -> OctState:
         if self._k_m2m is None:
@@ -229,16 +247,19 @@ class OctreeFmmEngine:
         lam_L = 0.5 * sqrt_dim * st.cw
 
         # ---- P2M at leaves ----
-        e = (pos_s - center_of[st.key]) / lam_L
+        e = (pos_s - jnp.take(center_of, st.key, axis=0)) / lam_L
         contrib = mop.p2m_contrib(t, e)
+        if self._p2m_proj is not None:
+            contrib = contrib @ self._p2m_proj
         M_lvl = [None] * (L + 1)
         M_lvl[L] = jax.ops.segment_sum(contrib, st.key, num_segments=cellsL,
                                        indices_are_sorted=True)
 
         # ---- M2M up ----
         nsib = 1 << dim
+        SM = self._k_m2m.shape[1]  # stored multipole width
         for l in range(L - 1, -1, -1):
-            child = M_lvl[l + 1].reshape(-1, nsib, t.S_M)
+            child = M_lvl[l + 1].reshape(-1, nsib, SM)
             acc = None
             for c in range(nsib):
                 part = child[:, c, :] @ self._k_m2m[c]
@@ -252,8 +273,8 @@ class OctreeFmmEngine:
             side = 1 << l
             lv = self.levels[l]
             cw_l = st.cw * (1 << (L - l))
-            Mg = M_lvl[l][jnp.asarray(lv["from_grid"])]
-            Mg = Mg.reshape((side,) * dim + (t.S_M,))
+            Mg = jnp.take(M_lvl[l], jnp.asarray(lv["from_grid"]), axis=0)
+            Mg = Mg.reshape((side,) * dim + (SM,))
             Lg = jnp.zeros((side,) * dim + (t.S_Lt,), dtype)
             for ci, o in enumerate(self.offsets):
                 masks = [_axis_mask(side, o[a]) for a in range(dim)]

@@ -144,6 +144,62 @@ def traceless_extend_layout(max_order: int, dim: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def traceless_project_matrix(n: int, dim: int) -> np.ndarray:
+    """P: [trc_size(n), sym_size(n)] harmonic projection in packed form.
+
+    Decomposes a symmetric tensor S = R h + (delta o T) (harmonic part plus
+    trace part, a direct sum); returns the stored traceless coordinates h.
+    Contractions against traceless harmonics (the FMM's M2L) see only h, so
+    projecting multipoles is lossless — this is the basis of the reference's
+    traceless-multipole variant (fmm_cart3_traceless.cuh).
+    """
+    syms = sym_entries(n, dim)
+    S = len(syms)
+    idx = {e: i for i, e in enumerate(syms)}
+    R = traceless_extend_matrix(n, dim)            # [S, 2n+1]
+    # trace-subspace basis: delta_(ab) o e_k for sym entries of order n-2
+    cols = []
+    if n >= 2:
+        for k in sym_entries(n - 2, dim):
+            v = np.zeros(S)
+            for a in range(dim):
+                e = list(k)
+                e[a] += 2
+                # packed symmetric convention stores the tensor VALUE at a
+                # representative index; (delta o T)[alpha] = sum over ways:
+                # value contribution pattern derived from symmetrization:
+                # (delta o T)[alpha] = sum_a T[alpha - 2 e_a] * m(alpha, a)
+                v[idx[tuple(e)]] += math.comb(e[a], 2)
+            cols.append(v)
+    if cols:
+        T = np.stack(cols, axis=1)                 # [S, S(n-2)]
+        A = np.concatenate([R, T], axis=1)         # [S, S] (full rank)
+        coeffs = np.linalg.solve(A, np.eye(S))
+        return coeffs[: R.shape[1], :]
+    return R.T.copy() if R.shape[0] == R.shape[1] else np.linalg.pinv(R)
+
+
+# sym(delta o T)[alpha] = sum_a [C(alpha_a, 2)/C(n, 2)] T[alpha - 2 e_a]
+# (value-at-representative packing); the per-column overall scale is
+# irrelevant for the span, the relative weights C(alpha_a, 2) are not.
+
+
+@functools.lru_cache(maxsize=None)
+def traceless_project_layout(max_order: int, dim: int) -> np.ndarray:
+    """Block-diagonal projection over concatenated orders 0..max_order."""
+    blocks = [traceless_project_matrix(n, dim) for n in range(max_order + 1)]
+    rows = sum(b.shape[0] for b in blocks)
+    cols = sum(b.shape[1] for b in blocks)
+    out = np.zeros((rows, cols))
+    r = c = 0
+    for b in blocks:
+        out[r:r + b.shape[0], c:c + b.shape[1]] = b
+        r += b.shape[0]
+        c += b.shape[1]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def monomial_exponents(max_order: int, dim: int) -> np.ndarray:
     """Exponent table [S, dim] for the sym_layout of orders 0..max_order."""
     entries, _, _ = sym_layout(max_order, dim)
