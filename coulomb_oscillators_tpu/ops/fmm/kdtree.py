@@ -299,8 +299,8 @@ def _traverse_host(center: np.ndarray, lb: np.ndarray, rb: np.ndarray,
 
     m2l = np.concatenate(m2l, axis=0) if m2l else np.zeros((0, 2), np.int64)
     p2p = np.concatenate(p2p, axis=0) if p2p else np.zeros((0, 2), np.int64)
-    # both directions
-    m2l_full = np.concatenate([m2l, m2l[:, ::-1]], axis=0)
+    # m2l stays unordered (one entry per pair; both directions in-stage)
+    m2l_full = m2l
     nonself = p2p[p2p[:, 0] != p2p[:, 1]]
     selfp = p2p[p2p[:, 0] == p2p[:, 1]]
     if not coll:
@@ -356,8 +356,10 @@ class KdFmmEngine:
         self.L = L or auto_level(n, self.p, config.dens_inhom,
                                  config.tree_L, leaf_target)
         self.tables = build_tables(self.dim, self.p)
-        self.use_pallas = (use_pallas if use_pallas is not None
-                           else jax.default_backend() == "tpu")
+        # The Pallas near-field kernel is currently DMA-issue-bound (many
+        # small source-block copies) and loses to the batched-gather scan;
+        # keep it opt-in until the block-merging rewrite.
+        self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         self.st = _static_structure(n, self.L,
                                     pad_to=128 if self.use_pallas else 1)
         self.caps = {"p2p": 256, "m2l": 256}
@@ -456,7 +458,7 @@ class KdFmmEngine:
                 float(self.config.tree_radius), self.config.coll)
         m2l, p2p = out
         leaf0 = _heap_off(self.L)
-        m2l_full = np.concatenate([m2l, m2l[:, ::-1]], axis=0)
+        m2l_full = m2l  # unordered pairs; both directions applied in-stage
         nonself = p2p[p2p[:, 0] != p2p[:, 1]]
         selfp = p2p[p2p[:, 0] == p2p[:, 1]]
         if not self.config.coll:
@@ -481,37 +483,54 @@ class KdFmmEngine:
         return self._force_impl(pos, fs)
 
     def _force_impl(self, pos: jax.Array, fs: FmmState) -> jax.Array:
-        n = self.n
+        """Padded-leaf-block pipeline: after the one permutation gather, all
+        per-particle work happens on [G, C, dim] blocks — no per-particle
+        gathers (TPU row-gathers are the enemy; see SKILL notes)."""
+        st = self.st
+        n, L, dim, C = self.n, self.L, self.dim, st.C
+        G = 1 << L
         dtype = pos.dtype
         kappa = dtype.type(self.config.kappa(n))
+
         pos_s = jnp.take(pos, fs.perm, axis=0)
-        mpole_heap = self._stage_multipoles(pos_s, fs)
+        pad_mask = jnp.asarray(st.pad_mask)
+        flat = jnp.where(pad_mask[:, None],
+                         jnp.take(pos_s, jnp.asarray(st.pad_gather), axis=0),
+                         dtype.type(FAR))                  # [G*C, dim]
+        ppad = flat.reshape(G, C, dim)
+        mask3 = pad_mask.reshape(G, C)
+
+        mpole_heap = self._stage_multipoles(ppad, mask3, fs)
         local_heap = self._stage_m2l(mpole_heap, fs)
-        acc_far = self._stage_local(pos_s, local_heap, fs)
-        acc_near = self._stage_p2p(pos_s, fs)
-        acc_s = (acc_far + acc_near) * kappa
-        return jnp.take(acc_s, fs.inv_perm, axis=0)
+        far_pad = self._stage_local(ppad, mask3, local_heap, fs)
+        near_pad = self._stage_p2p(ppad, fs)
+        acc_pad = (far_pad + near_pad).reshape(G * C, dim)
+        acc_s = jnp.take(acc_pad, jnp.asarray(st.unpad_gather), axis=0)
+        return jnp.take(acc_s * kappa, fs.inv_perm, axis=0)
 
     # ---- pipeline stages (separately jittable for perf work) ----
 
-    def _leaf_frame(self, pos_s, fs):
-        st = self.st
+    def _leaf_frame(self, ppad, mask3, fs):
+        """Normalized offsets per padded slot: [G, C, dim] (0 at pad)."""
         L = self.L
         leaf0 = _heap_off(L)
-        segL = jnp.asarray(st.seg[L])
-        leaf_center = jnp.take(fs.center, leaf0 + segL, axis=0)
-        leaf_lam = jnp.take(fs.lam, leaf0 + segL, axis=0)
-        return segL, (pos_s - leaf_center) / leaf_lam[:, None], leaf_lam
+        G = ppad.shape[0]
+        leafc = fs.center[leaf0:leaf0 + G]                 # slice, no gather
+        leafl = fs.lam[leaf0:leaf0 + G]
+        e = (ppad - leafc[:, None, :]) / leafl[:, None, None]
+        return jnp.where(mask3[..., None], e, 0.0), leafl
 
-    def _stage_multipoles(self, pos_s: jax.Array, fs: FmmState) -> jax.Array:
-        """P2M at leaves + M2M up; returns mpole_heap [Mheap, S_M]."""
+    def _stage_multipoles(self, ppad: jax.Array, mask3: jax.Array,
+                          fs: FmmState) -> jax.Array:
+        """P2M at leaves (padded blocks) + M2M up; mpole_heap [Mheap, S_M]."""
         t = self.tables
         L = self.L
         G = 1 << L
-        segL, e, _ = self._leaf_frame(pos_s, fs)
-        contrib = mop.p2m_contrib(t, e)                       # [n, S_M]
-        mpole_leaf = jax.ops.segment_sum(contrib, segL, num_segments=G,
-                                         indices_are_sorted=True)
+        C = ppad.shape[1]
+        e, _ = self._leaf_frame(ppad, mask3, fs)
+        contrib = mop.p2m_contrib(t, e.reshape(G * C, -1))
+        contrib = contrib * mask3.reshape(G * C, 1)
+        mpole_leaf = contrib.reshape(G, C, -1).sum(axis=1)
         mpoles = [None] * (L + 1)
         mpoles[L] = mpole_leaf
         for l in range(L - 1, -1, -1):
@@ -531,19 +550,23 @@ class KdFmmEngine:
         return jnp.concatenate(mpoles, axis=0)                # [Mheap, S_M]
 
     def _stage_m2l(self, mpole_heap: jax.Array, fs: FmmState) -> jax.Array:
-        """M2L over the pair list; returns local_heap [Mheap, S_Lt]."""
+        """M2L over the UNORDERED pair list (both directions per entry via
+        the parity symmetry — one harmonic evaluation per pair, like the
+        reference's fmm_c2c3 reuse, :655-661); returns local_heap."""
         t = self.tables
         L = self.L
         dim = self.dim
         dtype = mpole_heap.dtype
         Mheap = _heap_off(L + 1)
-        tgt_cl = jnp.minimum(fs.m2l_tgt, Mheap - 1)
-        Rfull = jnp.take(fs.center, tgt_cl, axis=0) - \
-            jnp.take(fs.center, fs.m2l_src, axis=0)
+        a_cl = jnp.minimum(fs.m2l_tgt, Mheap - 1)
+        b_cl = fs.m2l_src
+        Rfull = jnp.take(fs.center, a_cl, axis=0) - \
+            jnp.take(fs.center, b_cl, axis=0)
         Rsafe = jnp.where(fs.m2l_valid[:, None], Rfull, jnp.ones_like(Rfull))
-        lam_s = jnp.take(fs.lam, fs.m2l_src, axis=0)
-        lam_t = jnp.take(fs.lam, tgt_cl, axis=0)
-        Msrc = jnp.take(mpole_heap, fs.m2l_src, axis=0)
+        lam_a = jnp.take(fs.lam, a_cl, axis=0)
+        lam_b = jnp.take(fs.lam, b_cl, axis=0)
+        Ma = jnp.take(mpole_heap, a_cl, axis=0)
+        Mb = jnp.take(mpole_heap, b_cl, axis=0)
 
         chunk = min(self.m2l_chunk, Rsafe.shape[0])
         K = Rsafe.shape[0]
@@ -552,31 +575,37 @@ class KdFmmEngine:
         def pad0(x):
             return jnp.pad(x, [(0, kpad - K)] + [(0, 0)] * (x.ndim - 1))
 
-        Mc = pad0(Msrc).reshape(kpad // chunk, chunk, -1)
-        Rc = pad0(Rsafe).reshape(kpad // chunk, chunk, dim)
-        lsc = pad0(lam_s).reshape(kpad // chunk, chunk)
-        ltc = pad0(lam_t).reshape(kpad // chunk, chunk)
-        vc = pad0(fs.m2l_valid).reshape(kpad // chunk, chunk)
-        tc = pad0(jnp.minimum(fs.m2l_tgt, Mheap)).reshape(kpad // chunk, chunk)
+        nch = kpad // chunk
+        Mac = pad0(Ma).reshape(nch, chunk, -1)
+        Mbc = pad0(Mb).reshape(nch, chunk, -1)
+        Rc = pad0(Rsafe).reshape(nch, chunk, dim)
+        lac = pad0(lam_a).reshape(nch, chunk)
+        lbc = pad0(lam_b).reshape(nch, chunk)
+        vc = pad0(fs.m2l_valid).reshape(nch, chunk)
+        tac = pad0(jnp.minimum(fs.m2l_tgt, Mheap)).reshape(nch, chunk)
+        tbc = pad0(jnp.minimum(
+            fs.m2l_src + (~fs.m2l_valid) * Mheap, Mheap)).reshape(nch, chunk)
 
-        # scan-accumulate per chunk; the pair list is target-sorted, so each
-        # chunk reduces with a sorted segment_sum and a dense add (no big
-        # scatter), and peak memory stays O(chunk + Mheap).
         def m2l_body(acc, args):
-            Mx, Rx, ls, lt, vv, tg = args
-            out = mop.m2l(t, Mx, Rx, ls, lt) * vv[:, None]
-            part = jax.ops.segment_sum(out, tg, num_segments=Mheap + 1,
+            MaX, MbX, RX, la, lb, vv, ta, tb = args
+            La, Lb = mop.m2l_both(t, MaX, MbX, RX, la, lb)
+            La = La * vv[:, None]
+            Lb = Lb * vv[:, None]
+            part = jax.ops.segment_sum(La, ta, num_segments=Mheap + 1,
                                        indices_are_sorted=True)
+            part = part + jax.ops.segment_sum(Lb, tb,
+                                              num_segments=Mheap + 1)
             return acc + part, None
 
         local_init = jnp.zeros((Mheap + 1, t.S_Lt), dtype)
         local_heap, _ = jax.lax.scan(
-            m2l_body, local_init, (Mc, Rc, lsc, ltc, vc, tc))
+            m2l_body, local_init,
+            (Mac, Mbc, Rc, lac, lbc, vc, tac, tbc))
         return local_heap[:Mheap]
 
-    def _stage_local(self, pos_s: jax.Array, local_heap: jax.Array,
-                     fs: FmmState) -> jax.Array:
-        """L2L down + L2P; returns far-field acceleration per sorted slot."""
+    def _stage_local(self, ppad: jax.Array, mask3: jax.Array,
+                     local_heap: jax.Array, fs: FmmState) -> jax.Array:
+        """L2L down + L2P; far-field acceleration on padded blocks."""
         t = self.tables
         L = self.L
         locs = local_heap[0:1]
@@ -597,39 +626,30 @@ class KdFmmEngine:
             local_levels.append(locs)
         leaf_local = local_levels[L]                          # [G, S_Lt]
 
-        segL, w, leaf_lam = self._leaf_frame(pos_s, fs)
-        Lt_per_particle = jnp.take(leaf_local, segL, axis=0)
-        return mop.l2p_field(t, Lt_per_particle, w, leaf_lam)
+        w, leafl = self._leaf_frame(ppad, mask3, fs)
+        F = mop.l2p_field_blocked(t, leaf_local, w, leafl)
+        return F * mask3[..., None]
 
-    def _stage_p2p(self, pos_s: jax.Array, fs: FmmState) -> jax.Array:
-        """Near-field pass over padded leaf blocks; acceleration per sorted
-        slot.  On TPU this is the Pallas gather kernel (p2p_pallas.py); the
-        jnp scan below is the portable fallback."""
+    def _stage_p2p(self, ppad: jax.Array, fs: FmmState) -> jax.Array:
+        """Near-field pass; acceleration on padded blocks [G, C, dim].
+        On TPU optionally the Pallas gather kernel (p2p_pallas.py); the jnp
+        scan below is the default."""
         st = self.st
         n, L, dim, C = self.n, self.L, self.dim, st.C
         G = 1 << L
-        dtype = pos_s.dtype
+        dtype = ppad.dtype
         eps2 = dtype.type(self.config.eps2)
-        pad_gather = jnp.asarray(st.pad_gather)
-        pad_mask = jnp.asarray(st.pad_mask)
 
         if self.use_pallas:
             from coulomb_oscillators_tpu.ops.fmm import p2p_pallas
-            far = dtype.type(FAR)
-            flat = jnp.where(pad_mask[:, None],
-                             jnp.take(pos_s, pad_gather, axis=0), far)
-            rows = jnp.zeros((G * C, 8), dtype).at[:, :dim].set(flat)
-            rows = jnp.where(pad_mask[:, None], rows, far).reshape(G, C, 8)
-            soa = jnp.swapaxes(rows.reshape(G, C, 8), 1, 2)   # [G, 8, C]
+            rows = jnp.zeros((G, C, 8), dtype).at[:, :, :dim].set(ppad)
+            soa = jnp.swapaxes(rows, 1, 2)                    # [G, 8, C]
             out = p2p_pallas.p2p_leaf_pairs(
                 rows, soa, fs.p2p_row_ptr, fs.p2p_col2d,
                 dim=dim, eps2=float(self.config.eps2))
-            return jnp.take(out[:, :, :dim].reshape(G * C, dim),
-                            jnp.asarray(st.unpad_gather), axis=0)
+            return out[:, :, :dim]
 
-        pos_pad = jnp.where(pad_mask[:, None],
-                            jnp.take(pos_s, pad_gather, axis=0),
-                            dtype.type(FAR)).reshape(G, C, dim)
+        pos_pad = ppad
 
         tgt = jnp.minimum(fs.p2p_tgt, G - 1)
         src = fs.p2p_src
@@ -665,5 +685,4 @@ class KdFmmEngine:
 
         acc_init = jnp.zeros((G + 1, C, dim), dtype)
         acc_pad, _ = jax.lax.scan(p2p_body, acc_init, (tgt_c, src_c, val_c))
-        return jnp.take(acc_pad[:G].reshape(G * C, dim),
-                        jnp.asarray(st.unpad_gather), axis=0)
+        return acc_pad[:G]

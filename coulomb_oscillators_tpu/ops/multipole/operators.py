@@ -88,6 +88,40 @@ def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
     return L
 
 
+def m2l_both(t: FmmTables, M1: jax.Array, M2: jax.Array, R: jax.Array,
+             lam1: jax.Array, lam2: jax.Array):
+    """Both directions of an unordered M2L pair, one harmonic evaluation.
+
+    R = x_1 - x_2.  Returns (L1 from M2, L2 from M1).  Uses the parity
+    H_k(-Rhat) = (-1)^k H_k(Rhat) (the reference's symmetry trick,
+    fmm_c2c3_kdtree_krnl:655-661) so the gradient table is evaluated once
+    per unordered pair.
+    """
+    r = jnp.linalg.norm(R, axis=-1)
+    Rh = R / r[:, None]
+    H = hm.eval_H(Rh, t.maxH, t.dim)
+    W = _j(t.m2l_W, M1.dtype).reshape(t.S_H, -1)
+    K = (H @ W).reshape(-1, t.S_Lt, t.S_M)
+    # parity sign (-1)^(n_i + m_j) flips K to the -R direction
+    sign = _j((-1.0) ** (t.nt_order[:, None] + t.m_order[None, :]), M1.dtype)
+    v1 = lam1 / r
+    v2 = lam2 / r
+    m_ord = _j(t.m_order, M1.dtype)[None, :]
+    n_ord = _j(t.nt_order, M1.dtype)[None, :]
+    M2v = M2 * (v2[:, None] ** m_ord)
+    M1v = M1 * (v1[:, None] ** m_ord)
+    L1 = jnp.sum(K * M2v[:, None, :], axis=2) * (v1[:, None] ** n_ord)
+    L2 = jnp.sum((K * sign[None]) * M1v[:, None, :], axis=2) * \
+        (v2[:, None] ** n_ord)
+    if t.dim == 3:
+        L1 = L1 / r[:, None]
+        L2 = L2 / r[:, None]
+    else:
+        L1 = L1.at[:, 0].add(M2[:, 0] * (-jnp.log(r) - 1.0))
+        L2 = L2.at[:, 0].add(M1[:, 0] * (-jnp.log(r) - 1.0))
+    return L1, L2
+
+
 def expand_L(t: FmmTables, Lt: jax.Array) -> jax.Array:
     """Traceless-stored locals -> full symmetric layout [B, S_Lf]."""
     return Lt @ _j(t.extend_L, Lt.dtype).T
@@ -119,6 +153,24 @@ def l2p_field(t: FmmTables, Lt: jax.Array, w: jax.Array,
     U = jnp.einsum("bk,akj->baj", V, D)                   # [B, dim, S_Lf]
     F = -jnp.einsum("bj,baj->ba", Lf, U)
     return F / lam[:, None]
+
+
+def l2p_field_blocked(t: FmmTables, Lt: jax.Array, w: jax.Array,
+                      lam: jax.Array) -> jax.Array:
+    """Leaf-blocked L2P: Lt [G, S_Lt], w [G, C, dim], lam [G] -> [G, C, dim].
+
+    Same math as :func:`l2p_field` but the local expansion is shared per
+    leaf block, so no per-particle gather of Lt is needed.
+    """
+    G, C, dim = w.shape
+    Lf = expand_L(t, Lt)                                   # [G, S_Lf]
+    V = hm.eval_monomials(w.reshape(G * C, dim), t.PL, t.dim)
+    V = V.reshape(G, C, -1)
+    D = _j(t.l2p_D, Lf.dtype)                              # [dim, S_V, S_Lf]
+    # U[g, c, a, j] = sum_k V[g, c, k] D[a, k, j];  F = -sum_j Lf[g, j] U
+    U = jnp.einsum("gck,akj->gcaj", V, D)
+    F = -jnp.einsum("gj,gcaj->gca", Lf, U)
+    return F / lam[:, None, None]
 
 
 def l2p_potential(t: FmmTables, Lt: jax.Array, w: jax.Array) -> jax.Array:
