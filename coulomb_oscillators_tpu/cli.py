@@ -90,6 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2D: emittances (ex ey)")
     p.add_argument("-tune", dest="tune", type=float, default=0.8,
                    help="2D: y tune depression for the matched beam")
+    p.add_argument("-A", dest="kv_A", type=float, nargs=2, default=None,
+                   help="2D: KV semi-axes override (skips envelope matching)")
+    p.add_argument("-omega", dest="kv_omega", type=float, nargs=2,
+                   default=None,
+                   help="2D: KV depressed phase advances override")
+    # accepted for reference-CLI compatibility; XLA owns launch geometry
+    p.add_argument("-gpu", dest="gpu_blocksize", type=int, default=None,
+                   help="(compat; block size is chosen by the compiler)")
+    p.add_argument("-gridsize", dest="gridsize", type=int, default=None,
+                   help="(compat)")
     return p
 
 
@@ -126,6 +136,12 @@ def main(argv: Optional[list] = None) -> int:
     if dim == 2:
         from coulomb_oscillators_tpu.models.beams import matched_beam_2d
         beam = matched_beam_2d(omega0, args.emit, args.tune)
+        if args.kv_A is not None:
+            beam["A"] = np.asarray(args.kv_A, dtype=np.float64)
+            beam["x_std"] = beam["A"] / 2.0
+        if args.kv_omega is not None:
+            beam["omega"] = np.asarray(args.kv_omega, dtype=np.float64)
+        beam["u_std"] = beam["omega"] * beam["A"] / 2.0
         if args.xi == 2e-6:  # not overridden on the command line
             args.xi = beam["xi"]
         print(f"dep. phase adv.: {beam['omega'][0]}, {beam['omega'][1]}")

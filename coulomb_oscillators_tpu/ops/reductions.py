@@ -44,3 +44,8 @@ def rel_err_l2(test: jax.Array, ref: jax.Array) -> jax.Array:
 def minmax(pos: jax.Array):
     """Componentwise (min, max) over particles (minmaxReduce2, reductions.cuh:52-80)."""
     return jnp.min(pos, axis=0), jnp.max(pos, axis=0)
+
+
+def pow_reduce(x: jax.Array, expo: float) -> jax.Array:
+    """Sum of |x|^expo over all elements (powReduce, reductions.cuh:497-653)."""
+    return jnp.sum(jnp.abs(x) ** expo)

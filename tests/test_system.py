@@ -57,3 +57,14 @@ def test_trap_only_oscillation_period():
     out = I.nsteps(step, state, steps)
     np.testing.assert_allclose(np.asarray(out.pos)[:, 1:], np.asarray(pos)[:, 1:],
                                atol=2e-4)
+
+
+def test_simulator_plain_engine():
+    from coulomb_oscillators_tpu.simulate import Simulator
+    config = SimConfig(dt=1e-3)
+    n = 128
+    state = _make_state(config, n)
+    sim = Simulator(config, n, engine="direct")
+    out = sim.run(state, 7)
+    assert out.pos.shape == (n, 3)
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
