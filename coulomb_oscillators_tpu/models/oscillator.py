@@ -81,7 +81,18 @@ def init_accelerations(config: SimConfig, state: ParticleState,
 
 
 def total_energy(config: SimConfig, state: ParticleState) -> jax.Array:
-    """Conserved Hamiltonian of the oscillator system."""
+    """Conserved Hamiltonian of the oscillator system (O(N^2) Coulomb sum)."""
     return energy_ops.total_energy(
         state.pos, state.vel, config.eps2, config.kappa(state.n),
         config.omega0_sq())
+
+
+def total_energy_fmm(config: SimConfig, state: ParticleState,
+                     engine, fstate) -> jax.Array:
+    """Hamiltonian with the Coulomb term from the FMM potential — O(N),
+    usable at scales where the pairwise sum is impractical."""
+    ke = 0.5 * jnp.sum(jnp.square(state.vel).astype(jnp.float32))
+    k = jnp.asarray(config.omega0_sq(), dtype=jnp.float32)
+    trap = 0.5 * jnp.sum(jnp.square(state.pos).astype(jnp.float32) * k)
+    phi = engine.potential(state.pos, fstate)
+    return ke + trap + 0.5 * jnp.sum(phi.astype(jnp.float32))

@@ -508,6 +508,102 @@ class KdFmmEngine:
         acc_s = jnp.take(acc_pad, jnp.asarray(st.unpad_gather), axis=0)
         return jnp.take(acc_s * kappa, fs.inv_perm, axis=0)
 
+    def potential(self, pos: jax.Array, fs: FmmState) -> jax.Array:
+        """Per-particle softened Coulomb potential (kappa-scaled), original
+        order.  Far field from the local expansions (which include the
+        monopole term), near field via a direct pass over the P2P pair
+        list, minus the self-interaction 1/eps.  Enables O(N) total-energy
+        diagnostics at scales where the O(N^2) oracle is impractical."""
+        return jax.jit(self._potential_impl)(pos, fs)
+
+    def _potential_impl(self, pos: jax.Array, fs: FmmState) -> jax.Array:
+        import math as _math
+        st = self.st
+        t = self.tables
+        n, L, dim, C = self.n, self.L, self.dim, st.C
+        G = 1 << L
+        dtype = pos.dtype
+        kappa = dtype.type(self.config.kappa(n))
+
+        pos_s = jnp.take(pos, fs.perm, axis=0)
+        pad_mask = jnp.asarray(st.pad_mask)
+        flat = jnp.where(pad_mask[:, None],
+                         jnp.take(pos_s, jnp.asarray(st.pad_gather), axis=0),
+                         dtype.type(FAR))
+        ppad = flat.reshape(G, C, dim)
+        mask3 = pad_mask.reshape(G, C)
+
+        mpole_heap = self._stage_multipoles(ppad, mask3, fs)
+        local_heap = self._stage_m2l(mpole_heap, fs)
+
+        # far-field potential: Phi = sum mult(d) Lf[d] w^d per leaf block
+        # (reuse the L2L recursion from _stage_local by recomputing it here)
+        locs = local_heap[0:1]
+        local_levels = [locs]
+        for l in range(1, L + 1):
+            m = 1 << l
+            off = _heap_off(l)
+            off_p = _heap_off(l - 1)
+            cc = fs.center[off:off + m]
+            cl = fs.lam[off:off + m]
+            pc = jnp.repeat(fs.center[off_p:off_p + m // 2], 2, axis=0)
+            pl = jnp.repeat(fs.lam[off_p:off_p + m // 2], 2, axis=0)
+            sshift = (cc - pc) / pl[:, None]
+            rho = cl / pl
+            parentL = jnp.repeat(local_levels[l - 1], 2, axis=0)
+            shifted = mop.l2l(t, parentL, sshift, rho)
+            locs = shifted + local_heap[off:off + m]
+            local_levels.append(locs)
+        leaf_local = local_levels[L]
+
+        w, _leafl = self._leaf_frame(ppad, mask3, fs)
+        from coulomb_oscillators_tpu.ops.multipole import harmonics as hm
+        Lf = mop.expand_L(t, leaf_local)                    # [G, S_Lf]
+        V = hm.eval_monomials(w.reshape(G * C, dim), t.PL, t.dim)
+        V = V.reshape(G, C, -1)
+        multv = jnp.asarray(t.l2p_mult, dtype)
+        pot_far = jnp.einsum("gj,gcj->gc", Lf * multv[None, :], V)
+
+        # near-field potential over the p2p list
+        pchunk = min(self.p2p_chunk, fs.p2p_tgt.shape[0])
+        Q = fs.p2p_tgt.shape[0]
+        qpad = -(-Q // pchunk) * pchunk
+        tgt_c = jnp.pad(jnp.minimum(fs.p2p_tgt, G), (0, qpad - Q),
+                        constant_values=G).reshape(-1, pchunk)
+        src_c = jnp.pad(fs.p2p_src, (0, qpad - Q)).reshape(-1, pchunk)
+        val_c = jnp.pad(fs.p2p_valid, (0, qpad - Q)).reshape(-1, pchunk)
+        eps2 = dtype.type(self.config.eps2)
+
+        def pot_body(acc, args):
+            ti, si, vv = args
+            P_t = jnp.take(ppad, jnp.minimum(ti, G - 1), axis=0)
+            P_s = jnp.take(ppad, si, axis=0)
+            dist2 = eps2
+            for a in range(dim):
+                da = P_t[:, :, None, a] - P_s[:, None, :, a]
+                dist2 = dist2 + da * da
+            if dim == 3:
+                phi = jax.lax.rsqrt(dist2)
+            else:
+                phi = -0.5 * jnp.log(dist2)
+            phi = phi * vv[:, None, None]
+            part = jax.ops.segment_sum(jnp.sum(phi, axis=2), ti,
+                                       num_segments=G + 1,
+                                       indices_are_sorted=True)
+            return acc + part, None
+
+        pot_init = jnp.zeros((G + 1, C), dtype)
+        pot_near, _ = jax.lax.scan(pot_body, pot_init, (tgt_c, src_c, val_c))
+        pot_near = pot_near[:G]
+        # remove the self term contributed by each leaf's self pair
+        self_phi = (1.0 / _math.sqrt(self.config.eps2) if dim == 3
+                    else -0.5 * _math.log(self.config.eps2))
+        pot_near = pot_near - dtype.type(self_phi)
+
+        pot_pad = ((pot_far + pot_near) * mask3).reshape(G * C)
+        pot_s = jnp.take(pot_pad, jnp.asarray(st.unpad_gather), axis=0)
+        return jnp.take(pot_s * kappa, fs.inv_perm, axis=0)
+
     # ---- pipeline stages (separately jittable for perf work) ----
 
     def _leaf_frame(self, ppad, mask3, fs):

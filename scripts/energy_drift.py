@@ -23,8 +23,10 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30001
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     engine = sys.argv[3] if len(sys.argv) > 3 else "fmm3_kd"
+    p_order = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    radius = float(sys.argv[5]) if len(sys.argv) > 5 else 2.0
 
-    config = SimConfig(fmm_order=4, tree_radius=2.0)
+    config = SimConfig(fmm_order=p_order, tree_radius=radius)
     x = (0.003, 0.001, 0.01)
     u = tuple(w * xs for w, xs in zip(config.omega0, x))
     pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
@@ -33,7 +35,14 @@ def main():
 
     sim = Simulator(config, n, engine=engine)
     state = sim.init_acc(state)
-    e0 = float(M.total_energy(config, state))
+
+    def energy(st):
+        if n > 200_000 and sim._fmm is not None:
+            return float(M.total_energy_fmm(config, st, sim._fmm,
+                                            sim._fmm.build(st.pos)))
+        return float(M.total_energy(config, st))
+
+    e0 = energy(state)
     print(f"n={n} engine={engine} E0={e0:.9e}", flush=True)
 
     t0 = time.time()
@@ -43,7 +52,7 @@ def main():
         k = min(block, steps - done)
         state = sim.run(state, k)
         done += k
-        e = float(M.total_energy(config, state))
+        e = energy(state)
         drift = abs(e - e0) / abs(e0)
         dt = time.time() - t0
         print(f"step {done:6d}  E={e:.9e}  drift={drift:.3e}  "

@@ -99,3 +99,18 @@ def test_simulator_fmm_energy(beam):
     e1 = float(M.total_energy(config, state))
     drift = abs(e1 - e0) / abs(e0)
     assert np.isfinite(drift) and drift < 1e-3, drift
+
+
+def test_fmm_potential_vs_direct(beam):
+    pos, _ = beam
+    cfg = SimConfig(fmm_order=5, tree_radius=2.5)
+    eng = KdFmmEngine(cfg, N)
+    fs = eng.build(pos)
+    phi = eng.potential(pos, fs)
+    P = np.asarray(pos, dtype=np.float64)
+    d = P[:, None, :] - P[None, :, :]
+    r = np.sqrt((d ** 2).sum(-1) + cfg.eps2)
+    np.fill_diagonal(r, np.inf)
+    phiref = cfg.kappa(N) * (1.0 / r).sum(1)
+    err = np.abs(np.asarray(phi) - phiref) / np.abs(phiref)
+    assert err.mean() < 2e-3, err.mean()
