@@ -266,7 +266,11 @@ class OctreeFmmEngine:
                 acc = part if acc is None else acc + part
             M_lvl[l] = acc
 
-        # ---- M2L per level (masked grid shifts) ----
+        # ---- M2L per level: lax.scan over the ~316 stencil classes so the
+        # program stays small (an unrolled version exceeded the compiler's
+        # size limits at deep levels) ----
+        nO = len(self.offsets)
+        offs = jnp.asarray(np.array(self.offsets, np.int32))   # [nO, dim]
         L_lvl = [jnp.zeros((1 << (dim * l), t.S_Lt), dtype)
                  for l in range(L + 1)]
         for l in range(2, L + 1):
@@ -275,25 +279,30 @@ class OctreeFmmEngine:
             cw_l = st.cw * (1 << (L - l))
             Mg = jnp.take(M_lvl[l], jnp.asarray(lv["from_grid"]), axis=0)
             Mg = Mg.reshape((side,) * dim + (SM,))
-            Lg = jnp.zeros((side,) * dim + (t.S_Lt,), dtype)
-            for ci, o in enumerate(self.offsets):
-                masks = [_axis_mask(side, o[a]) for a in range(dim)]
-                if any(m.sum() == 0 for m in masks):
-                    continue
-                # source = cell + o  (gather by shifted slice with zero pad)
-                src = Mg
-                for a in range(dim):
-                    src = _shift_axis(src, o[a], a)
-                contrib = src @ self._k_m2l[ci]
-                # mask invalid targets
-                m = masks[0]
+            # zero-pad by 3 on each side: class windows slice the pad
+            Mp = jnp.pad(Mg, [(3, 3)] * dim + [(0, 0)])
+            masks = np.stack(
+                [np.stack([_axis_mask(side, o[a]) for a in range(dim)])
+                 for o in self.offsets])                       # [nO, dim, side]
+            masks_j = jnp.asarray(masks)
+
+            def m2l_class(Lg, args):
+                o, K, mk = args
+                starts = tuple(o[a] + 3 for a in range(dim)) + (0,)
+                src = jax.lax.dynamic_slice(
+                    Mp, starts, (side,) * dim + (SM,))
+                contrib = src @ K
+                m = mk[0]
                 for a in range(1, dim):
-                    m = np.multiply.outer(m, masks[a])
-                contrib = contrib * jnp.asarray(m)[..., None]
-                Lg = Lg + contrib
+                    m = m[..., None] * mk[a]
+                return Lg + contrib * m[..., None], None
+
+            Lg0 = jnp.zeros((side,) * dim + (t.S_Lt,), dtype)
+            Lg, _ = jax.lax.scan(m2l_class, Lg0,
+                                 (offs, self._k_m2l, masks_j))
             scale = (1.0 / cw_l) if dim == 3 else 1.0
-            L_lvl[l] = L_lvl[l] + scale * \
-                Lg.reshape(-1, t.S_Lt)[jnp.asarray(lv["to_grid"])]
+            L_lvl[l] = L_lvl[l] + scale * jnp.take(
+                Lg.reshape(-1, t.S_Lt), jnp.asarray(lv["to_grid"]), axis=0)
 
         # ---- L2L down ----
         for l in range(1, L + 1):
@@ -306,7 +315,7 @@ class OctreeFmmEngine:
 
         # ---- L2P ----
         w = e  # same normalized offsets
-        Lt_part = L_lvl[L][st.key]
+        Lt_part = jnp.take(L_lvl[L], st.key, axis=0)
         lam_vec = jnp.full((n,), lam_L, dtype)
         acc_far = mop.l2p_field(t, Lt_part, w, lam_vec)
 
@@ -365,20 +374,3 @@ def _bin_particles(pos, n, L, dim):
             key = key | (((q[:, a] >> b) & 1) << (b * dim + a))
     perm = jnp.argsort(key).astype(jnp.int32)
     return key[perm], perm, origin, cw
-
-
-def _shift_axis(x, o, axis):
-    """x shifted so out[i] = x[i+o] along `axis`, zero-padded."""
-    if o == 0:
-        return x
-    n = x.shape[axis]
-    pad = [(0, 0)] * x.ndim
-    if o > 0:
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(o, n)
-        pad[axis] = (0, o)
-    else:
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(0, n + o)
-        pad[axis] = (-o, 0)
-    return jnp.pad(x[tuple(sl)], pad)
