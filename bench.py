@@ -45,6 +45,7 @@ def main():
     # timing: steps chained through the simulator (includes rebuild cost
     # every tree_steps steps)
     warm = sim.run(state, 2)
+    warm = sim.run(warm, 2)   # second warm-up: compile for scan-layout inputs
     jax.block_until_ready(warm.pos)
     t0 = time.perf_counter()
     steps = 16

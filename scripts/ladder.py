@@ -44,7 +44,10 @@ def _run(tag, config, n, engine, steps=12, uniform=False, integ=None):
     state = _state(config, n, uniform)
     sim = Simulator(config, n, engine=engine)
     state = sim.init_acc(state)
-    state = sim.run(state, 2)                   # warm-up / compile
+    # two warm-up calls: the first compiles for init_acc-layout inputs,
+    # the second for scan-output-layout inputs (the steady state)
+    state = sim.run(state, 2)
+    state = sim.run(state, 2)
     jax.block_until_ready(state.pos)
     t0 = time.time()
     state = sim.run(state, steps)
