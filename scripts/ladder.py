@@ -49,10 +49,14 @@ def _run(tag, config, n, engine, steps=12, uniform=False, integ=None):
     state = sim.run(state, 2)
     state = sim.run(state, 2)
     jax.block_until_ready(state.pos)
-    t0 = time.time()
-    state = sim.run(state, steps)
-    np.asarray(state.pos[0])
-    dt = (time.time() - t0) / steps
+    # min over repeats: the remote-TPU transport adds sporadic multi-second
+    # stalls that would otherwise dominate fast configs
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state = sim.run(state, steps)
+        np.asarray(state.pos[0])
+        dt = min(dt, (time.time() - t0) / steps)
     print(json.dumps({
         "config": tag, "engine": engine, "n": n,
         "sec_per_step": round(dt, 5),
@@ -68,7 +72,7 @@ def main():
 
     which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4]
     if 1 in which:
-        _run("1_direct_N4096", SimConfig(), 4096, "direct", steps=50)
+        _run("1_direct_N4096", SimConfig(), 4096, "direct", steps=500)
     if 2 in which:
         cfg = SimConfig(dim=2, omega0=(1.095, 1.0), fmm_order=4,
                         tree_radius=2.0)
