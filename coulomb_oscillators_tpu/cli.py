@@ -43,8 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-integ", dest="integ", default="leapfrog",
                    choices=["eu", "fr", "pefrl", "leapfrog"],
                    help="symplectic integrator")
-    p.add_argument("-p", dest="fmm_order", type=int, default=2,
-                   help="FMM expansion order")
+    p.add_argument("-p", dest="fmm_order", type=int, default=3,
+                   help="FMM expansion order (reference default: "
+                        "constants.cuh:42)")
     p.add_argument("-r", dest="tree_radius", type=float, default=1.0,
                    help="interaction radius (>= 1)")
     p.add_argument("-eps", dest="eps", type=float, default=1e-9,
@@ -109,7 +110,9 @@ def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # hard-set: the flag must win even when the ambient env already
+        # exports JAX_PLATFORMS (e.g. a TPU tunnel)
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
     import jax.numpy as jnp

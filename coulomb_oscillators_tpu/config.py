@@ -42,6 +42,14 @@ class SimConfig:
     tree_radius: float = 1.0      # MAC interaction radius (constants.cuh:43)
     tree_L: int = 0               # max tree level; 0 = auto heuristic (constants.cuh:44)
     tree_steps: int = 8           # tree rebuilt every `tree_steps` iters (constants.cuh:45)
+    tree_async: bool = True       # TPU extension: pipeline the host re-sort of each
+                                  # rebuild behind the device scan window (the adopted
+                                  # permutation is one window stale, but node geometry
+                                  # and MAC pair lists are recomputed exactly at
+                                  # adoption, so the FMM error bound is preserved —
+                                  # staleness only swells leaf bounds slightly).
+                                  # False = the reference's fully synchronous rebuild
+                                  # cadence (fmm_cart3_kdtree.cuh:1619-1642).
     dens_inhom: float = 1.0       # density-inhomogeneity factor for auto level (constants.cuh:52)
     coll: bool = True             # include near-field P2P pass (constants.cuh:50)
     unsort: bool = True           # return accelerations in input particle order

@@ -7,28 +7,50 @@ numpy paths keep working when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
+import tempfile
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "co_native.cpp")
-_SO = os.path.join(_DIR, "libco_native.so")
 
 _lib = None
+_so_path = None
 
 
 def _compile() -> bool:
+    """Build (or reuse) the shared library keyed by a source hash.
+
+    The cache key is the source content, never an mtime — a stale binary
+    from another host/arch can therefore never be loaded.  Built into the
+    package dir when writable, else a per-user temp dir."""
+    global _so_path
     try:
-        if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-            return True
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-               "-o", _SO, _SRC]
-        subprocess.run(cmd, check=True, capture_output=True)
-        return True
+        with open(_SRC, "rb") as f:
+            src = f.read()
+        tag = hashlib.sha256(src).hexdigest()[:12]
+        for base in (_DIR, os.path.join(tempfile.gettempdir(),
+                                        f"co_native_{os.getuid()}")):
+            so = os.path.join(base, f"libco_native_{tag}.so")
+            if os.path.exists(so):
+                _so_path = so
+                return True
+            try:
+                os.makedirs(base, exist_ok=True)
+                tmp = so + f".tmp{os.getpid()}"
+                cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                       "-o", tmp, _SRC]
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, so)
+                _so_path = so
+                return True
+            except (OSError, subprocess.CalledProcessError):
+                continue
+        return False
     except Exception:
         return False
 
@@ -40,7 +62,7 @@ def get_lib():
         return _lib
     if not _compile():
         return None
-    lib = ctypes.CDLL(_SO)
+    lib = ctypes.CDLL(_so_path)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     c_f32p = ctypes.POINTER(ctypes.c_float)

@@ -144,6 +144,9 @@ def _direct_kernel(tgt_ref, src_ref, out_ref, *, dim: int, eps2: float):
         w = inv * jax.lax.rsqrt(dist2)
     else:
         w = inv
+    # row `dim` of the source SoA carries validity (1 real / 0 pad), so
+    # padded columns contribute exactly zero in every dim
+    w = w * src_ref[dim:dim + 1, :]
 
     ax = jnp.sum(dx * w, axis=1, keepdims=True)             # [TI, 1]
     ay = jnp.sum(dy * w, axis=1, keepdims=True)
@@ -183,14 +186,11 @@ def direct(
 
     # Padded targets [Npad_i, 8]; padded slots at origin.
     tgt = jnp.zeros((npad_i, _COORD_ROWS), dtype).at[:n, :dim].set(pos)
-    # Padded sources [8, Npad_j] (SoA).
+    # Padded sources [8, Npad_j] (SoA); row `dim` is the validity row the
+    # kernel multiplies into the pair weight (exact zero for pad columns —
+    # the 2D 1/r^2 weight does not underflow the way the 3D one does).
     src = jnp.zeros((_COORD_ROWS, npad_j), dtype).at[:dim, :n].set(pos.T)
-    # Padded sources contribute d*w with d = p_i (distance to origin) — NOT
-    # zero.  Zero them by weighting: instead keep a mask row trick — push
-    # sources far away so w underflows to 0.
-    far = jnp.asarray(1e18, dtype)
-    pad_cols = jnp.arange(npad_j) >= n
-    src = jnp.where(pad_cols[None, :], far, src)
+    src = src.at[dim, :n].set(dtype.type(1))
 
     del npad
 

@@ -328,7 +328,12 @@ def _pad_pairs(pairs: np.ndarray, cap: int, dummy_tgt: int):
 
 
 def _round_cap(k: int) -> int:
-    return max(256, 1 << int(math.ceil(math.log2(max(k, 1) * 1.25))))
+    """Padded list capacity: 25% headroom rounded to 8192.  Steady-state
+    counts under the async re-sort pipeline run ~15% above a fresh sort
+    (one-window-stale leaf partition), so this absorbs them without a
+    recompile, while padding waste stays far below the old power-of-two
+    policy's up-to-2x."""
+    return max(256, -(-int(k * 1.25) // 8192) * 8192)
 
 
 # --------------------------------------------------------------------------- #
@@ -348,11 +353,14 @@ class KdFmmEngine:
     def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
                  leaf_target: int = 128, m2l_chunk: int = 65536,
                  p2p_chunk: int = 256, sort_mode: str = "auto",
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 p2p_form: str = "diff"):
         self.config = config
         self.n = n
         self.dim = config.dim
-        self.p = max(config.fmm_order, 2)
+        # p=1 is monopole-only (PM=0), matching the reference's fmm_order=1
+        # row in the -test sweep (main3.cu:799)
+        self.p = max(config.fmm_order, 1)
         self.L = L or auto_level(n, self.p, config.dens_inhom,
                                  config.tree_L, leaf_target)
         self.tables = build_tables(self.dim, self.p)
@@ -365,8 +373,10 @@ class KdFmmEngine:
         self.caps = {"p2p": 256, "m2l": 256}
         self.m2l_chunk = m2l_chunk
         self.p2p_chunk = p2p_chunk
+        self.p2p_form = p2p_form
         self.sort_mode = sort_mode
         self._force_jit = jax.jit(self._force_impl)
+        self._potential_jit = jax.jit(self._potential_impl)
 
     # ---------------- build ----------------
     def build(self, pos: jax.Array) -> FmmState:
@@ -406,7 +416,19 @@ class KdFmmEngine:
             bt["device_build"] = _time.perf_counter() - t0
             t0 = _time.perf_counter()
         m2l, p2p = self._traverse(c_h, lb_h, rb_h)
-        bt["traverse"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        bt["traverse"] = _time.perf_counter() - t0
+        perm_h2 = np.asarray(perm)
+        inv_perm = np.empty_like(perm_h2)
+        inv_perm[perm_h2] = np.arange(self.n, dtype=perm_h2.dtype)
+        return self._lists_to_state(perm, inv_perm, center, lam,
+                                    m2l, p2p, bt)
+
+    def _lists_to_state(self, perm, inv_perm, center, lam, m2l, p2p,
+                        bt) -> FmmState:
+        """Shared tail of build()/refresh(): pad pair lists to caps, build
+        the optional Pallas CSR layout, upload, assemble FmmState."""
+        import time as _time
+        t0 = _time.perf_counter()
         self.last_counts = {"m2l": int(m2l.shape[0]), "p2p": int(p2p.shape[0])}
         for name, arr in (("m2l", m2l), ("p2p", p2p)):
             if arr.shape[0] > self.caps[name]:
@@ -415,24 +437,29 @@ class KdFmmEngine:
         G = 1 << self.L
         m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
         p2p_t, p2p_s, p2p_v = _pad_pairs(p2p, self.caps["p2p"], G)
-        row_ptr = np.searchsorted(p2p[:, 0], np.arange(G + 1),
-                                  side="left").astype(np.int32)
-        degrees = np.diff(row_ptr)
-        dmax = int(degrees.max()) if degrees.size else 1
-        dmax = max(128, -(-dmax // 128) * 128)
-        if dmax > self.caps.get("dmax", 0):
-            self.caps["dmax"] = dmax
-        dmax = self.caps["dmax"]
-        col2d = np.zeros((G, dmax), dtype=np.int32)
-        if p2p.shape[0]:
-            ranks = np.arange(p2p.shape[0]) - row_ptr[p2p[:, 0]]
-            col2d[p2p[:, 0], ranks] = p2p[:, 1]
-        perm_h2 = np.asarray(perm)
-        inv_perm = np.empty_like(perm_h2)
-        inv_perm[perm_h2] = np.arange(self.n, dtype=perm_h2.dtype)
+        if self.use_pallas:
+            # CSR + dense-degree layout only the Pallas kernel reads; its
+            # col2d is the single largest upload (G x dmax i32), so it is
+            # built/shipped only when that path is on
+            row_ptr = np.searchsorted(p2p[:, 0], np.arange(G + 1),
+                                      side="left").astype(np.int32)
+            degrees = np.diff(row_ptr)
+            dmax = int(degrees.max()) if degrees.size else 1
+            dmax = max(128, -(-dmax // 128) * 128)
+            if dmax > self.caps.get("dmax", 0):
+                self.caps["dmax"] = dmax
+            dmax = self.caps["dmax"]
+            col2d = np.zeros((G, dmax), dtype=np.int32)
+            if p2p.shape[0]:
+                ranks = np.arange(p2p.shape[0]) - row_ptr[p2p[:, 0]]
+                col2d[p2p[:, 0], ranks] = p2p[:, 1]
+        else:
+            row_ptr = np.zeros(1, dtype=np.int32)
+            col2d = np.zeros((1, 1), dtype=np.int32)
         bt["lists"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
         out = FmmState(
-            perm=perm, inv_perm=jnp.asarray(inv_perm), center=center, lam=lam,
+            perm=jnp.asarray(perm), inv_perm=jnp.asarray(inv_perm),
+            center=jnp.asarray(center), lam=jnp.asarray(lam),
             p2p_tgt=jnp.asarray(p2p_t), p2p_src=jnp.asarray(p2p_s),
             p2p_valid=jnp.asarray(p2p_v),
             m2l_tgt=jnp.asarray(m2l_t), m2l_src=jnp.asarray(m2l_s),
@@ -444,6 +471,84 @@ class KdFmmEngine:
         bt["upload"] = _time.perf_counter() - t0
         self.last_build_times = bt
         return out
+
+    def build_perm(self, pos) -> Tuple[np.ndarray, np.ndarray]:
+        """Host part of a re-sort: fetch positions + exact equal-count kd
+        permutation (native quickselect).  Designed to run in a background
+        thread overlapping the device scan (ctypes releases the GIL);
+        device-side work (repad + refresh) happens at adoption time."""
+        from coulomb_oscillators_tpu import native as conative
+        pos_h = np.asarray(pos, dtype=np.float32)
+        perm = conative.kdtree_build(pos_h, self.L)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(self.n, dtype=perm.dtype)
+        return perm, inv
+
+    def refresh(self, ppad: jax.Array, fs: FmmState,
+                perm=None, inv_perm=None) -> FmmState:
+        """Exact geometry + pair-list rebuild for an existing padded layout.
+
+        Recomputes exact node bounds/centers from the padded blocks on
+        device (no O(N) host fetch), then re-runs the MAC traversal and
+        re-uploads the pair lists.  The traversal sees the true *current*
+        bounds, so the MAC error bound is preserved regardless of how stale
+        the permutation is — staleness only swells leaf bounds (more pairs,
+        never wrong ones).  Pass perm/inv_perm when ppad was padded under a
+        new permutation (async re-sort pipeline); defaults keep fs's.
+        This splits the reference's monolithic rebuild
+        (fmm_cart3_kdtree.cuh:1619-1642) into an overlappable host re-sort
+        and a cheap synchronous geometry/list refresh.
+        """
+        import time as _time
+        bt = {}
+        t0 = _time.perf_counter()
+        h = np.asarray(self._leaf_stats_jit(ppad))          # [3, G, dim]
+        bt["geom_dev"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        L, dim = self.L, self.dim
+        G = 1 << L
+        M = (1 << (L + 1)) - 1
+        mn = np.empty((M, dim), np.float32)
+        mx = np.empty((M, dim), np.float32)
+        sm = np.empty((M, dim), np.float64)
+        mn[G - 1:] = h[0]
+        mx[G - 1:] = h[1]
+        sm[G - 1:] = h[2]
+        for l in range(L - 1, -1, -1):
+            off, offc, m = (1 << l) - 1, (1 << (l + 1)) - 1, 1 << l
+            mn[off:off + m] = np.minimum(mn[offc:offc + 2 * m:2],
+                                         mn[offc + 1:offc + 2 * m:2])
+            mx[off:off + m] = np.maximum(mx[offc:offc + 2 * m:2],
+                                         mx[offc + 1:offc + 2 * m:2])
+            sm[off:off + m] = (sm[offc:offc + 2 * m:2]
+                               + sm[offc + 1:offc + 2 * m:2])
+        cnt = self.st.mult.astype(np.float64)[:, None]
+        center = (sm / cnt).astype(np.float32)
+        lam = np.maximum(0.5 * np.linalg.norm(mx - mn, axis=1),
+                         1e-30).astype(np.float32)
+        bt["geom_host"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        m2l, p2p = self._traverse(center, mn, mx)
+        bt["traverse"] = _time.perf_counter() - t0
+        return self._lists_to_state(
+            fs.perm if perm is None else perm,
+            fs.inv_perm if inv_perm is None else inv_perm,
+            center, lam, m2l, p2p, bt)
+
+    @property
+    def _leaf_stats_jit(self):
+        fn = getattr(self, "_leaf_stats_cached", None)
+        if fn is None:
+            mask = self.mask3[..., None]
+            big = jnp.float32(3e38)
+
+            @jax.jit
+            def leaf_stats(ppad):
+                mn = jnp.min(jnp.where(mask, ppad, big), axis=1)
+                mx = jnp.max(jnp.where(mask, ppad, -big), axis=1)
+                sm = jnp.sum(jnp.where(mask, ppad, 0.0), axis=1)
+                return jnp.stack([mn, mx, sm])
+
+            fn = self._leaf_stats_cached = leaf_stats
+        return fn
 
     def _traverse(self, c_h, lb_h, rb_h):
         """Dual-tree traversal: native C++ when available, numpy fallback.
@@ -486,27 +591,52 @@ class KdFmmEngine:
         """Padded-leaf-block pipeline: after the one permutation gather, all
         per-particle work happens on [G, C, dim] blocks — no per-particle
         gathers (TPU row-gathers are the enemy; see SKILL notes)."""
+        ppad = self.pad_array(pos, fs, fill=FAR)
+        acc_pad = self.force_padded_in_jit(ppad, fs)
+        return self.unpad_array(acc_pad, fs)
+
+    # ---------------- padded persistent state ----------------
+    # The Simulator can keep the whole integrator state as padded [G, C, dim]
+    # blocks between rebuilds, which removes every per-step N-row gather
+    # (perm / pad / unpad / inv_perm — measured ~70 ms at N=1M, ~1/3 of a
+    # force eval).  This is the TPU-native strengthening of the reference's
+    # sorted-state mode (`b_unsort=false`, fmm_cart3_kdtree.cuh:1746-1760),
+    # which keeps particles in tree order and permutes velocities at rebuild.
+
+    def pad_array(self, x: jax.Array, fs: FmmState,
+                  fill: float = 0.0) -> jax.Array:
+        """Original-order [n, k] -> padded leaf blocks [G, C, k]."""
         st = self.st
-        n, L, dim, C = self.n, self.L, self.dim, st.C
-        G = 1 << L
-        dtype = pos.dtype
-        kappa = dtype.type(self.config.kappa(n))
+        G, C = 1 << self.L, st.C
+        x_s = jnp.take(x, fs.perm, axis=0)
+        flat = jnp.where(jnp.asarray(st.pad_mask)[:, None],
+                         jnp.take(x_s, jnp.asarray(st.pad_gather), axis=0),
+                         x.dtype.type(fill))
+        return flat.reshape(G, C, x.shape[1])
 
-        pos_s = jnp.take(pos, fs.perm, axis=0)
-        pad_mask = jnp.asarray(st.pad_mask)
-        flat = jnp.where(pad_mask[:, None],
-                         jnp.take(pos_s, jnp.asarray(st.pad_gather), axis=0),
-                         dtype.type(FAR))                  # [G*C, dim]
-        ppad = flat.reshape(G, C, dim)
-        mask3 = pad_mask.reshape(G, C)
+    def unpad_array(self, xpad: jax.Array, fs: FmmState) -> jax.Array:
+        """Padded [G, C, k] -> original-order [n, k]."""
+        st = self.st
+        xs = jnp.take(xpad.reshape(-1, xpad.shape[-1]),
+                      jnp.asarray(st.unpad_gather), axis=0)
+        return jnp.take(xs, fs.inv_perm, axis=0)
 
+    @property
+    def mask3(self) -> jax.Array:
+        """[G, C] validity of padded slots (static)."""
+        return jnp.asarray(self.st.pad_mask).reshape(1 << self.L, self.st.C)
+
+    def force_padded_in_jit(self, ppad: jax.Array, fs: FmmState) -> jax.Array:
+        """Coulomb acceleration on padded blocks [G, C, dim] (kappa-scaled).
+        Pad slots (pos = FAR) receive ~0; mask before integrating."""
+        dtype = ppad.dtype
+        kappa = dtype.type(self.config.kappa(self.n))
+        mask3 = self.mask3
         mpole_heap = self._stage_multipoles(ppad, mask3, fs)
         local_heap = self._stage_m2l(mpole_heap, fs)
         far_pad = self._stage_local(ppad, mask3, local_heap, fs)
         near_pad = self._stage_p2p(ppad, fs)
-        acc_pad = (far_pad + near_pad).reshape(G * C, dim)
-        acc_s = jnp.take(acc_pad, jnp.asarray(st.unpad_gather), axis=0)
-        return jnp.take(acc_s * kappa, fs.inv_perm, axis=0)
+        return (far_pad + near_pad) * kappa
 
     def potential(self, pos: jax.Array, fs: FmmState) -> jax.Array:
         """Per-particle softened Coulomb potential (kappa-scaled), original
@@ -514,7 +644,7 @@ class KdFmmEngine:
         monopole term), near field via a direct pass over the P2P pair
         list, minus the self-interaction 1/eps.  Enables O(N) total-energy
         diagnostics at scales where the O(N^2) oracle is impractical."""
-        return jax.jit(self._potential_impl)(pos, fs)
+        return self._potential_jit(pos, fs)
 
     def _potential_impl(self, pos: jax.Array, fs: FmmState) -> jax.Array:
         import math as _math
@@ -595,10 +725,12 @@ class KdFmmEngine:
         pot_init = jnp.zeros((G + 1, C), dtype)
         pot_near, _ = jax.lax.scan(pot_body, pot_init, (tgt_c, src_c, val_c))
         pot_near = pot_near[:G]
-        # remove the self term contributed by each leaf's self pair
-        self_phi = (1.0 / _math.sqrt(self.config.eps2) if dim == 3
-                    else -0.5 * _math.log(self.config.eps2))
-        pot_near = pot_near - dtype.type(self_phi)
+        # remove the self term contributed by each leaf's self pair; with
+        # coll=False the P2P list is empty, so no self term was ever added
+        if self.config.coll:
+            self_phi = (1.0 / _math.sqrt(self.config.eps2) if dim == 3
+                        else -0.5 * _math.log(self.config.eps2))
+            pot_near = pot_near - dtype.type(self_phi)
 
         pot_pad = ((pot_far + pot_near) * mask3).reshape(G * C)
         pot_s = jnp.take(pot_pad, jnp.asarray(st.unpad_gather), axis=0)
@@ -668,19 +800,24 @@ class KdFmmEngine:
         K = Rsafe.shape[0]
         kpad = -(-K // chunk) * chunk
 
-        def pad0(x):
-            return jnp.pad(x, [(0, kpad - K)] + [(0, 0)] * (x.ndim - 1))
+        def pad0(x, fill=0):
+            # scan-padding rows must stay finite (R) and must scatter into
+            # the dropped overflow row (targets), or NaN leaks into node 0
+            return jnp.pad(x, [(0, kpad - K)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
 
         nch = kpad // chunk
         Mac = pad0(Ma).reshape(nch, chunk, -1)
         Mbc = pad0(Mb).reshape(nch, chunk, -1)
-        Rc = pad0(Rsafe).reshape(nch, chunk, dim)
-        lac = pad0(lam_a).reshape(nch, chunk)
-        lbc = pad0(lam_b).reshape(nch, chunk)
+        Rc = pad0(Rsafe, 1).reshape(nch, chunk, dim)
+        lac = pad0(lam_a, 1).reshape(nch, chunk)
+        lbc = pad0(lam_b, 1).reshape(nch, chunk)
         vc = pad0(fs.m2l_valid).reshape(nch, chunk)
-        tac = pad0(jnp.minimum(fs.m2l_tgt, Mheap)).reshape(nch, chunk)
+        tac = pad0(jnp.minimum(fs.m2l_tgt, Mheap),
+                   Mheap).reshape(nch, chunk)
         tbc = pad0(jnp.minimum(
-            fs.m2l_src + (~fs.m2l_valid) * Mheap, Mheap)).reshape(nch, chunk)
+            fs.m2l_src + (~fs.m2l_valid) * Mheap, Mheap),
+            Mheap).reshape(nch, chunk)
 
         def m2l_body(acc, args):
             MaX, MbX, RX, la, lb, vv, ta, tb = args
@@ -728,8 +865,18 @@ class KdFmmEngine:
 
     def _stage_p2p(self, ppad: jax.Array, fs: FmmState) -> jax.Array:
         """Near-field pass; acceleration on padded blocks [G, C, dim].
-        On TPU optionally the Pallas gather kernel (p2p_pallas.py); the jnp
-        scan below is the default."""
+
+        Default form ("mxu"): exact per-axis displacements feed dist2 (no
+        quadratic-form cancellation), then the force assembly
+            f_d = t'_d * sum_s w  -  sum_s w * s'_d
+        rides the MXU as one [pc,C,C]x[pc,C,dim] batched matmul over
+        leaf-centered coordinates (centering keeps |t'| at leaf scale so the
+        two assembly terms cancel benignly).  This replaces the reference's
+        warp-cooperative accumulation (fmm_p2p3_kdtree_coalesced,
+        fmm_cart3_kdtree.cuh:767-1046) with matmul-offloaded reduction.
+        "diff" form: the all-VPU reduce (higher precision assembly, used by
+        accuracy-critical runs).  "pallas": the explicit DMA kernel.
+        """
         st = self.st
         n, L, dim, C = self.n, self.L, self.dim, st.C
         G = 1 << L
@@ -746,6 +893,8 @@ class KdFmmEngine:
             return out[:, :, :dim]
 
         pos_pad = ppad
+        leaf0 = _heap_off(L)
+        leafc = fs.center[leaf0:leaf0 + G]                    # [G, dim]
 
         tgt = jnp.minimum(fs.p2p_tgt, G - 1)
         src = fs.p2p_src
@@ -756,10 +905,12 @@ class KdFmmEngine:
         tgt_c = jnp.pad(tgt, (0, qpad - Q), constant_values=G).reshape(-1, pchunk)
         src_c = jnp.pad(src, (0, qpad - Q)).reshape(-1, pchunk)
         val_c = jnp.pad(fs.p2p_valid, (0, qpad - Q)).reshape(-1, pchunk)
+        use_mxu = self.p2p_form == "mxu"
 
         def p2p_body(acc, args):
             ti, si, vv = args
-            P_t = jnp.take(pos_pad, jnp.minimum(ti, G - 1), axis=0)
+            ti_cl = jnp.minimum(ti, G - 1)
+            P_t = jnp.take(pos_pad, ti_cl, axis=0)            # [pc, C, dim]
             P_s = jnp.take(pos_pad, si, axis=0)
             dist2 = eps2
             ds = []
@@ -767,14 +918,28 @@ class KdFmmEngine:
                 da = P_t[:, :, None, a] - P_s[:, None, :, a]  # [pc, C, C]
                 ds.append(da)
                 dist2 = dist2 + da * da
-            inv = 1.0 / dist2
+            r = jax.lax.rsqrt(dist2)
             if dim == 3:
-                wgt = inv * jax.lax.rsqrt(dist2)
+                wgt = r * r * r
             else:
-                wgt = inv
+                wgt = r * r
             wgt = wgt * vv[:, None, None]
-            f = jnp.stack([jnp.sum(ds[a] * wgt, axis=2)
-                           for a in range(dim)], axis=-1)     # [pc, C, dim]
+            if use_mxu:
+                # zero the self diagonal: it contributes w*(t-t)=0 exactly in
+                # the diff form, but the two assembly terms would each carry
+                # the huge w(eps) and cancel catastrophically
+                is_self = (ti == si).astype(dtype)
+                eye = jnp.eye(C, dtype=dtype)
+                wgt = wgt * (1.0 - is_self[:, None, None] * eye[None])
+                ct = jnp.take(leafc, ti_cl, axis=0)           # [pc, dim]
+                Tc = P_t - ct[:, None, :]
+                Sc = P_s - ct[:, None, :]
+                sw = jnp.sum(wgt, axis=2)                     # [pc, C]
+                sws = jnp.einsum("pce,ped->pcd", wgt, Sc)     # MXU
+                f = Tc * sw[..., None] - sws
+            else:
+                f = jnp.stack([jnp.sum(ds[a] * wgt, axis=2)
+                               for a in range(dim)], axis=-1)
             part = jax.ops.segment_sum(f, ti, num_segments=G + 1,
                                        indices_are_sorted=True)
             return acc + part, None

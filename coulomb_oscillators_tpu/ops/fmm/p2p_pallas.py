@@ -1,21 +1,25 @@
 """Pallas TPU kernel for the FMM near-field (P2P) pass.
 
 Replaces the reference's shared-memory/subwarp P2P kernels
-(fmm_p2p3_kdtree*, fmm_cart3_kdtree.cuh:767-1132) with a TPU gather kernel:
-one grid program per TARGET leaf walks its partner list, double-buffering
-source leaf blocks from HBM into VMEM while the VPU evaluates the softened
-pairwise kernel on [C, C] tiles.  Accumulation stays in registers; each
-output block is written exactly once (no atomics — the TPU-native answer to
-the reference's myAtomicAdd scatter).
+(fmm_p2p3_kdtree*, fmm_cart3_kdtree.cuh:767-1132) with a TPU-native
+formulation exploiting the one resource GPUs lack: VMEM large enough to
+hold EVERY source position at once.  The whole SoA position array
+([G, 8, C], ~34 MB at N=1M/C=128) is pinned in VMEM for the entire grid,
+so each target leaf reads its partner blocks directly from VMEM — zero
+per-pair DMAs (the previous design issued one small HBM copy per pair and
+was DMA-issue-bound).  Per grid step (one target leaf):
 
-Partner lists: degrees vary per leaf, so the CSR row pointer [G+1] rides in
-SMEM via scalar prefetch, while the (large) padded partner table [G, Dmax]
-stays in HBM and each program DMAs only its own row into SMEM scratch.
+  * its row of the partner table arrives via one SMEM DMA,
+  * the target block [C, 8] streams in as a normal pipelined block,
+  * a fori_loop over the leaf's degree dynamic-slices source blocks out of
+    the resident SoA, evaluates the softened kernel on [C, C] tiles and
+    accumulates in registers,
+  * the output block is written exactly once (no atomics — the TPU answer
+    to the reference's myAtomicAdd scatter).
 
-Layouts: targets as row blocks [G, C, 8] (coordinate columns), sources as
-SoA blocks [G, 8, C] (coordinate rows) — both padded so the pairwise
-broadcast (C,1)-(1,C) hits natural tilings; C must be a multiple of 128.
-Padded slots sit at FAR so their weights underflow to exactly zero.
+Padded slots sit at FAR so their weights underflow to exactly zero; the
+self-pair diagonal contributes d * w(eps) = 0 like the reference's
+self-interaction.  C must be a multiple of 128 (lane dim).
 """
 
 from __future__ import annotations
@@ -28,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_hbm, out_ref,
-                colbuf, colsem, bufs, sems, *, dim: int, eps2: float):
+def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_ref, out_ref,
+                colbuf, colsem, *, dim: int, eps2: float):
     g = pl.program_id(0)
     deg = row_ptr[g + 1] - row_ptr[g]
 
@@ -40,44 +44,20 @@ def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_hbm, out_ref,
 
     tgt = tgt_ref[0]                                   # [C, 8]
     C = tgt.shape[0]
-    tcols = [tgt[:, a:a + 1] for a in range(dim)]      # (C,1) each
-
-    NBUF = 16  # deep DMA ring: the blocks are small (~4 KB), so many must
-    #            be in flight to hide HBM latency
-
-    def dma(slot, k):
-        return pltpu.make_async_copy(
-            soa_hbm.at[colbuf[0, k]], bufs.at[slot], sems.at[slot])
-
-    def warm(k, _):
-        @pl.when(k < deg)
-        def _():
-            dma(jax.lax.rem(k, NBUF), k).start()
-        return 0
-
-    jax.lax.fori_loop(0, NBUF, warm, 0)
+    tcols = [tgt[:, a:a + 1] for a in range(dim)]      # (C, 1) each
 
     def body(k, carry):
-        slot = jax.lax.rem(k, NBUF)
-        dma(slot, k).wait()
-        s = bufs[slot]                                 # [8, C]
+        s = soa_ref[colbuf[0, k]]                      # [8, C] from VMEM
         dist2 = jnp.full((C, C), eps2, jnp.float32)
         ds = []
         for a in range(dim):
             da = tcols[a] - s[a:a + 1, :]              # (C, C)
             ds.append(da)
             dist2 = dist2 + da * da
-        inv = 1.0 / dist2
-        w = inv * jax.lax.rsqrt(dist2) if dim == 3 else inv
-        out = tuple(c + jnp.sum(ds[a] * w, axis=1, keepdims=True)
-                    for a, c in enumerate(carry))
-
-        # refill this slot only after its block has been consumed
-        @pl.when(k + NBUF < deg)
-        def _():
-            dma(slot, k + NBUF).start()
-
-        return out
+        r = jax.lax.rsqrt(dist2)
+        w = r * r * r if dim == 3 else r * r
+        return tuple(c + jnp.sum(ds[a] * w, axis=1, keepdims=True)
+                     for a, c in enumerate(carry))
 
     init = tuple(jnp.zeros((C, 1), jnp.float32) for _ in range(dim))
     acc = jax.lax.fori_loop(0, deg, body, init)
@@ -91,11 +71,11 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
                    dim: int, eps2: float) -> jax.Array:
     """Near-field accelerations on padded leaf blocks.
 
-    pos_rows: [G, C, 8] targets; pos_soa: [G, 8, C] sources;
-    row_ptr: [G+1] int32 degrees CSR; col2d: [G, Dmax] int32 partner leaf
-    ids (row g valid for the first row_ptr[g+1]-row_ptr[g] entries); it is
-    reshaped to [G, 1, Dmax] so row DMAs slice the untiled leading dim.
-    Returns [G, C, 8] (coordinate columns 0..dim-1 hold the field).
+    pos_rows: [G, C, 8] targets; pos_soa: [G, 8, C] sources (held fully
+    VMEM-resident); row_ptr: [G+1] int32 degree CSR; col2d: [G, Dmax] int32
+    partner leaf ids (row g valid for the first row_ptr[g+1]-row_ptr[g]
+    entries), reshaped to [G, 1, Dmax] so row DMAs slice the untiled
+    leading dim.  Returns [G, C, 8] (coordinate columns 0..dim-1).
     """
     G, C, _ = pos_rows.shape
     Dmax = col2d.shape[1]
@@ -107,15 +87,15 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
             pl.BlockSpec((1, C, 8), lambda g, rp: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # col2d: DMA rows to SMEM
-            pl.BlockSpec(memory_space=pltpu.HBM),  # sources: DMA to VMEM
+            # whole SoA resident in VMEM across the grid (constant index)
+            pl.BlockSpec((G, 8, C), lambda g, rp: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C, 8), lambda g, rp: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((1, Dmax), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((16, 8, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((16,)),
         ],
     )
     return pl.pallas_call(
@@ -123,5 +103,5 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, C, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(row_ptr, pos_rows, col3d, pos_soa)

@@ -32,11 +32,22 @@ class Simulator:
         self._fmm = None
         self._fstate = None
         self._steps_since_build = 0
+        # padded-state stepping (see KdFmmEngine.force_padded_in_jit): the
+        # integrator state lives as [G, C, dim] leaf blocks between rebuilds
+        self._padded = None
+        self._last_out = None
+        self._use_padded = False
+        self._pending = None      # in-flight background re-sort
+        self._pool = None
 
         if engine.startswith("fmm") or engine == "appel":
             from coulomb_oscillators_tpu.ops import fmm as fmm_mod
             self._fmm = fmm_mod.make_engine_object(config, n, engine)
-            self._scan_step = self._make_fmm_scan()
+            self._use_padded = hasattr(self._fmm, "force_padded_in_jit")
+            if self._use_padded:
+                self._scan_step = self._make_fmm_scan_padded()
+            else:
+                self._scan_step = self._make_fmm_scan()
         else:
             from coulomb_oscillators_tpu.models.oscillator import (
                 make_oscillator_force)
@@ -70,6 +81,46 @@ class Simulator:
         return lambda state, fstate, k: scan_k(state, fstate, jnp.int32(k))
 
     # ------------------------------------------------------------------ #
+    def _make_fmm_scan_padded(self):
+        """Inter-rebuild scan on padded [G, C, dim] leaf blocks: zero
+        per-step N-row gathers (the TPU-native b_unsort=false,
+        fmm_cart3_kdtree.cuh:1746-1760)."""
+        eng = self._fmm
+        cfg = self.config
+        omega0_sq = self.omega0_sq
+        mask3 = eng.mask3[..., None]
+
+        def force(ppad, fstate):
+            acc = eng.force_padded_in_jit(ppad, fstate)
+            acc = add_elastic(ppad, acc, omega0_sq)
+            # pad slots park at FAR: their trap term is huge — zero it so
+            # pad velocities stay 0 and pad positions stay put
+            return jnp.where(mask3, acc, 0.0)
+
+        @jax.jit
+        def scan_k(pstate, fstate, k):
+            step = I.make_step(lambda p: force(p, fstate),
+                               cfg.integrator, cfg.dt)
+            return jax.lax.fori_loop(0, k, lambda _, s: step(s), pstate)
+
+        return lambda pstate, fstate, k: scan_k(pstate, fstate, jnp.int32(k))
+
+    def _pad_state(self, state: ParticleState) -> ParticleState:
+        from coulomb_oscillators_tpu.ops.fmm.kdtree import FAR
+        eng = self._fmm
+        fs = self._fstate
+        return ParticleState(eng.pad_array(state.pos, fs, fill=FAR),
+                             eng.pad_array(state.vel, fs),
+                             eng.pad_array(state.acc, fs))
+
+    def _unpad_state(self, pstate: ParticleState) -> ParticleState:
+        eng = self._fmm
+        fs = self._fstate
+        return ParticleState(eng.unpad_array(pstate.pos, fs),
+                             eng.unpad_array(pstate.vel, fs),
+                             eng.unpad_array(pstate.acc, fs))
+
+    # ------------------------------------------------------------------ #
     def init_acc(self, state: ParticleState) -> ParticleState:
         """Precompute a0 (main3.cu:835-839)."""
         if self._fmm is not None:
@@ -82,12 +133,18 @@ class Simulator:
                 make_oscillator_force)
             acc = make_oscillator_force(self.config, self.n,
                                         self.engine_name)(state.pos)
-        return state._replace(acc=acc)
+        out = state._replace(acc=acc)
+        if self._fmm is not None and self._use_padded:
+            self._padded = self._pad_state(out)
+            self._last_out = out
+        return out
 
     def run(self, state: ParticleState, steps: int) -> ParticleState:
         """Advance `steps` iterations, rebuilding the tree as configured."""
         if self._fmm is None:
             return self._plain_scan(state, steps)
+        if self._use_padded:
+            return self._run_padded(state, steps)
 
         ts = max(self.config.tree_steps, 1)
         done = 0
@@ -100,3 +157,76 @@ class Simulator:
             self._steps_since_build += k
             done += k
         return state
+
+    def _run_padded(self, state: ParticleState, steps: int) -> ParticleState:
+        ts = max(self.config.tree_steps, 1)
+        # a state we did not hand out (or a cold start) must enter padded form
+        if (self._padded is None or self._fstate is None
+                or state is not self._last_out):
+            self._drop_pending()
+            self._fstate = self._fmm.build(state.pos)
+            self._steps_since_build = 0
+            self._padded = self._pad_state(state)
+        done = 0
+        while done < steps:
+            if self._steps_since_build >= ts:
+                self._rebuild_padded()
+                self._steps_since_build = 0
+            k = min(ts - self._steps_since_build, steps - done)
+            self._padded = self._scan_step(self._padded, self._fstate, k)
+            self._steps_since_build += k
+            done += k
+        out = self._unpad_state(self._padded)
+        self._last_out = out
+        return out
+
+    def _rebuild_padded(self) -> None:
+        """Window-boundary tree rebuild of the padded state.
+
+        Async mode (config.tree_async): adopt the permutation the background
+        thread sorted from last window's positions (exact geometry + MAC
+        lists are still recomputed synchronously right here, so only leaf
+        tightness is one window stale), then kick off the next background
+        re-sort from the current positions.  Sync mode: the reference's
+        blocking rebuild."""
+        import jax.numpy as jnp
+        eng = self._fmm
+        if not (self.config.tree_async and hasattr(eng, "build_perm")):
+            cur = self._unpad_state(self._padded)
+            self._fstate = eng.build(cur.pos)
+            self._padded = self._pad_state(cur)
+            return
+
+        cur = self._unpad_state(self._padded)
+        if self._pending is not None:
+            perm_h, inv_h = self._pending.result()
+            perm = jnp.asarray(perm_h)
+            inv = jnp.asarray(inv_h)
+            fs_tmp = self._fstate._replace(perm=perm, inv_perm=inv)
+            from coulomb_oscillators_tpu.ops.fmm.kdtree import FAR
+            padded = ParticleState(eng.pad_array(cur.pos, fs_tmp, fill=FAR),
+                                   eng.pad_array(cur.vel, fs_tmp),
+                                   eng.pad_array(cur.acc, fs_tmp))
+            self._fstate = eng.refresh(padded.pos, fs_tmp)
+            self._padded = padded
+        else:
+            # pipeline priming: exact geometry/list refresh on the current
+            # permutation (bounds are exact; only leaf tightness is stale)
+            self._fstate = eng.refresh(self._padded.pos, self._fstate)
+        self._pending = self._executor().submit(eng.build_perm, cur.pos)
+
+    def _executor(self):
+        if self._pool is None:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tree-build")
+        return self._pool
+
+    def _drop_pending(self) -> None:
+        if self._pending is not None:
+            self._pending.cancel()
+            try:
+                self._pending.result()
+            except Exception:
+                pass
+            self._pending = None

@@ -1,0 +1,127 @@
+"""Stage-level profiling of the kd-FMM force eval + tree build at scale.
+
+Times (on the real chip, chained so the transport cannot elide work):
+  * the full force eval,
+  * the gather-only path (perm -> pad -> unpad -> inv_perm),
+  * each pipeline stage in isolation (P2M+M2M, M2L, L2L+L2P, P2P),
+and prints the host-side build breakdown (kd sort / traversal / list prep /
+upload).  Drives the round-2 optimization order.
+
+Run from /root/repo (no PYTHONPATH — it breaks the axon plugin):
+    python scripts/profile_force.py [N] [p] [r]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coulomb_oscillators_tpu import SimConfig
+from coulomb_oscillators_tpu.models import init_dist as ID
+from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
+from coulomb_oscillators_tpu.utils.timing import test_time_chained
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    r = float(sys.argv[3]) if len(sys.argv) > 3 else 1.7
+    cfg = SimConfig(fmm_order=p, tree_radius=r)
+    x0 = (0.003, 0.001, 0.01)
+    u0 = tuple(w * xs for w, xs in zip(cfg.omega0, x0))
+    pos_h, _ = ID.init_gaussian(n, x0, u0)
+    pos = jnp.asarray(pos_h)
+
+    eng = KdFmmEngine(cfg, n)
+    print(f"n={n} p={p} r={r} L={eng.L} C={eng.st.C} G={1 << eng.L} "
+          f"backend={jax.default_backend()}")
+
+    t0 = time.perf_counter()
+    fs = eng.build(pos)
+    print(f"build total {time.perf_counter() - t0:.3f}s  "
+          f"breakdown={ {k: round(v, 3) for k, v in eng.last_build_times.items()} }")
+    print(f"counts={eng.last_counts} caps={eng.caps}")
+
+    st = eng.st
+    G = 1 << eng.L
+    C = st.C
+    dim = eng.dim
+
+    # --- full force, chained on pos (scale output back into a position) ---
+    def full(x):
+        a = eng._force_jit(x, fs)
+        return x + a * 1e-30
+    t = test_time_chained(full, pos, min_loop=3.0)
+    print(f"force full       : {t * 1e3:8.2f} ms")
+
+    # --- gathers only ---
+    @jax.jit
+    def gathers(x):
+        pos_s = jnp.take(x, fs.perm, axis=0)
+        flat = jnp.take(pos_s, jnp.asarray(st.pad_gather), axis=0)
+        acc_s = jnp.take(flat, jnp.asarray(st.unpad_gather), axis=0)
+        out = jnp.take(acc_s, fs.inv_perm, axis=0)
+        return x + out * 1e-30
+    t = test_time_chained(gathers, pos, min_loop=2.0)
+    print(f"4 gathers only   : {t * 1e3:8.2f} ms")
+
+    # --- stage isolation on padded blocks ---
+    pad_mask = jnp.asarray(st.pad_mask)
+    pos_s = jnp.take(pos, fs.perm, axis=0)
+    flat = jnp.where(pad_mask[:, None],
+                     jnp.take(pos_s, jnp.asarray(st.pad_gather), axis=0),
+                     jnp.float32(1e18))
+    ppad0 = flat.reshape(G, C, dim)
+    mask3 = pad_mask.reshape(G, C)
+
+    @jax.jit
+    def mpoles(ppad):
+        h = eng._stage_multipoles(ppad, mask3, fs)
+        return ppad + jnp.mean(h) * 1e-30
+    t = test_time_chained(mpoles, ppad0, min_loop=2.0)
+    print(f"P2M+M2M          : {t * 1e3:8.2f} ms")
+
+    mh = jax.jit(eng._stage_multipoles)(ppad0, mask3, fs)
+
+    @jax.jit
+    def m2l(h):
+        lh = eng._stage_m2l(h, fs)
+        return h + jnp.mean(lh) * 1e-30
+    t = test_time_chained(m2l, mh, min_loop=2.0)
+    print(f"M2L              : {t * 1e3:8.2f} ms")
+
+    lh0 = jax.jit(eng._stage_m2l)(mh, fs)
+
+    @jax.jit
+    def local(ppad):
+        f = eng._stage_local(ppad, mask3, lh0, fs)
+        return ppad + f * 1e-30
+    t = test_time_chained(local, ppad0, min_loop=2.0)
+    print(f"L2L+L2P          : {t * 1e3:8.2f} ms")
+
+    @jax.jit
+    def p2p(ppad):
+        f = eng._stage_p2p(ppad, fs)
+        return ppad + f * 1e-30
+    t = test_time_chained(p2p, ppad0, min_loop=3.0)
+    # interaction count: each pair contributes C*C (incl. pad lanes)
+    q = int(np.sum(np.asarray(fs.p2p_valid)))
+    gint = q * C * C / t / 1e9
+    print(f"P2P (jnp scan)   : {t * 1e3:8.2f} ms   "
+          f"({q} pairs, {gint:.1f} G lane-int/s)")
+
+    # --- rebuild, repeated (steady-state cost) ---
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fs = eng.build(pos)
+        tt = time.perf_counter() - t0
+    print(f"rebuild steady   : {tt * 1e3:8.2f} ms  "
+          f"breakdown={ {k: round(v * 1e3, 1) for k, v in eng.last_build_times.items()} } (ms)")
+
+
+if __name__ == "__main__":
+    main()
