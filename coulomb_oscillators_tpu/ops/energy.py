@@ -17,8 +17,42 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def total_energy_f64(pos, vel, eps2: float, kappa: float, omega0_sq,
+                     chunk: int = 4096) -> float:
+    """Hamiltonian in float64 on host (numpy, BLAS-chunked pairwise sum).
+
+    The north-star drift bound (<=1e-6 @10k steps, BASELINE.md) is below
+    float32 resolution (~6e-8 * sqrt/log of the term count), so the
+    *measurement* itself must be f64: a drift certified with an f32
+    accumulator would be indistinguishable from accumulator noise.  This is
+    a diagnostic (every ~1000 steps), not a hot path — host f64 via the
+    d^2 = |a|^2+|b|^2-2ab BLAS identity is plenty (~2 s at N=30001).
+    """
+    pos = np.asarray(pos, np.float64)
+    vel = np.asarray(vel, np.float64)
+    n, dim = pos.shape
+    ke = 0.5 * float(np.sum(vel * vel))
+    trap = 0.5 * float(np.sum(pos * pos * np.asarray(omega0_sq, np.float64)))
+    sq = np.sum(pos * pos, axis=1)
+    pot = 0.0
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        rows = pos[i0:i1]
+        d2 = sq[i0:i1, None] + sq[None, :] - 2.0 * (rows @ pos.T)
+        np.maximum(d2, 0.0, out=d2)
+        d2 += eps2
+        if dim == 3:
+            phi = 1.0 / np.sqrt(d2)
+        else:
+            phi = -0.5 * np.log(d2)
+        phi[np.arange(i1 - i0), np.arange(i0, i1)] = 0.0   # self terms
+        pot += float(phi.sum())
+    return ke + trap + 0.5 * kappa * pot
 
 
 @functools.partial(jax.jit, static_argnames=("row_chunk",))

@@ -7,28 +7,28 @@ Engine registry (reference parity, SURVEY.md §2.2):
     (fmm_cart3_symmetric.cuh / fmm_cart3_traceless.cuh); static stencil,
     no traversal.
   * "fmm2"  — 2D uniform quadtree FMM (fmm_cart.cuh).
-  * "appel" — monopole-only tree code (appel.cuh) = octree engine at p=2
-    with only the monopole retained (dipoles vanish about the COC; the
-    reference's Appel variant is likewise monopole-far-field only).
+  * "appel" — monopole tree code (appel.cuh): per-cell charge + center of
+    charge, constant-field locals, COC-exact cell-cell far field
+    (ops/fmm/appel.py — a dedicated engine, not an octree alias).
 """
 
 from coulomb_oscillators_tpu.ops.fmm.kdtree import KdFmmEngine
 from coulomb_oscillators_tpu.ops.fmm.octree import OctreeFmmEngine
+from coulomb_oscillators_tpu.ops.fmm.appel import AppelEngine
 
 _KD_NAMES = ("fmm3_kd", "fmm2_kd", "fmm_kd")
-_OCT_NAMES = ("fmm3", "fmm2", "fmm3_traceless", "fmm2_traceless", "appel")
+_OCT_NAMES = ("fmm3", "fmm2", "fmm3_traceless", "fmm2_traceless")
 
 
 def make_engine_object(config, n, name: str):
     """Engine instance for the simulator (build/force API)."""
     if name in _KD_NAMES:
         return KdFmmEngine(config, n)
+    if name == "appel":
+        return AppelEngine(config, n)
     if name in _OCT_NAMES:
-        cfg = config
-        if name == "appel":
-            cfg = config.replace(fmm_order=2)
         storage = "traceless" if name.endswith("_traceless") else "symmetric"
-        return OctreeFmmEngine(cfg, n, multipole_storage=storage)
+        return OctreeFmmEngine(config, n, multipole_storage=storage)
     raise ValueError(f"unknown FMM engine {name!r}")
 
 

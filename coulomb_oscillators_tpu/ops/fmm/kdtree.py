@@ -667,24 +667,7 @@ class KdFmmEngine:
         local_heap = self._stage_m2l(mpole_heap, fs)
 
         # far-field potential: Phi = sum mult(d) Lf[d] w^d per leaf block
-        # (reuse the L2L recursion from _stage_local by recomputing it here)
-        locs = local_heap[0:1]
-        local_levels = [locs]
-        for l in range(1, L + 1):
-            m = 1 << l
-            off = _heap_off(l)
-            off_p = _heap_off(l - 1)
-            cc = fs.center[off:off + m]
-            cl = fs.lam[off:off + m]
-            pc = jnp.repeat(fs.center[off_p:off_p + m // 2], 2, axis=0)
-            pl = jnp.repeat(fs.lam[off_p:off_p + m // 2], 2, axis=0)
-            sshift = (cc - pc) / pl[:, None]
-            rho = cl / pl
-            parentL = jnp.repeat(local_levels[l - 1], 2, axis=0)
-            shifted = mop.l2l(t, parentL, sshift, rho)
-            locs = shifted + local_heap[off:off + m]
-            local_levels.append(locs)
-        leaf_local = local_levels[L]
+        leaf_local = self.l2l_down(local_heap, fs)
 
         w, _leafl = self._leaf_frame(ppad, mask3, fs)
         from coulomb_oscillators_tpu.ops.multipole import harmonics as hm
@@ -748,17 +731,22 @@ class KdFmmEngine:
         e = (ppad - leafc[:, None, :]) / leafl[:, None, None]
         return jnp.where(mask3[..., None], e, 0.0), leafl
 
-    def _stage_multipoles(self, ppad: jax.Array, mask3: jax.Array,
-                          fs: FmmState) -> jax.Array:
-        """P2M at leaves (padded blocks) + M2M up; mpole_heap [Mheap, S_M]."""
+    def p2m_blocks(self, ppad: jax.Array, mask3: jax.Array,
+                   leafc: jax.Array, leafl: jax.Array) -> jax.Array:
+        """P2M on a run of padded leaf blocks (any contiguous slice):
+        [Gb, C, dim] + per-block center/scale -> leaf multipoles [Gb, S_M]."""
+        t = self.tables
+        Gb, C = ppad.shape[0], ppad.shape[1]
+        e = (ppad - leafc[:, None, :]) / leafl[:, None, None]
+        e = jnp.where(mask3[..., None], e, 0.0)
+        contrib = mop.p2m_contrib(t, e.reshape(Gb * C, -1))
+        contrib = contrib * mask3.reshape(Gb * C, 1)
+        return contrib.reshape(Gb, C, -1).sum(axis=1)
+
+    def m2m_up(self, mpole_leaf: jax.Array, fs: FmmState) -> jax.Array:
+        """M2M sweep: leaf multipoles [G, S_M] -> full heap [Mheap, S_M]."""
         t = self.tables
         L = self.L
-        G = 1 << L
-        C = ppad.shape[1]
-        e, _ = self._leaf_frame(ppad, mask3, fs)
-        contrib = mop.p2m_contrib(t, e.reshape(G * C, -1))
-        contrib = contrib * mask3.reshape(G * C, 1)
-        mpole_leaf = contrib.reshape(G, C, -1).sum(axis=1)
         mpoles = [None] * (L + 1)
         mpoles[L] = mpole_leaf
         for l in range(L - 1, -1, -1):
@@ -776,6 +764,16 @@ class KdFmmEngine:
             shifted = mop.m2m(t, mpoles[l + 1], s, rho)       # [2m, S_M]
             mpoles[l] = shifted.reshape(m, 2, -1).sum(axis=1)
         return jnp.concatenate(mpoles, axis=0)                # [Mheap, S_M]
+
+    def _stage_multipoles(self, ppad: jax.Array, mask3: jax.Array,
+                          fs: FmmState) -> jax.Array:
+        """P2M at leaves (padded blocks) + M2M up; mpole_heap [Mheap, S_M]."""
+        G = 1 << self.L
+        leaf0 = _heap_off(self.L)
+        mpole_leaf = self.p2m_blocks(ppad, mask3,
+                                     fs.center[leaf0:leaf0 + G],
+                                     fs.lam[leaf0:leaf0 + G])
+        return self.m2m_up(mpole_leaf, fs)
 
     def _stage_m2l(self, mpole_heap: jax.Array, fs: FmmState) -> jax.Array:
         """M2L over the UNORDERED pair list (both directions per entry via
@@ -836,9 +834,8 @@ class KdFmmEngine:
             (Mac, Mbc, Rc, lac, lbc, vc, tac, tbc))
         return local_heap[:Mheap]
 
-    def _stage_local(self, ppad: jax.Array, mask3: jax.Array,
-                     local_heap: jax.Array, fs: FmmState) -> jax.Array:
-        """L2L down + L2P; far-field acceleration on padded blocks."""
+    def l2l_down(self, local_heap: jax.Array, fs: FmmState) -> jax.Array:
+        """L2L sweep: local heap [Mheap, S_Lt] -> leaf locals [G, S_Lt]."""
         t = self.tables
         L = self.L
         locs = local_heap[0:1]
@@ -857,11 +854,28 @@ class KdFmmEngine:
             shifted = mop.l2l(t, parentL, s, rho)
             locs = shifted + local_heap[off:off + m]
             local_levels.append(locs)
-        leaf_local = local_levels[L]                          # [G, S_Lt]
+        return local_levels[L]                                # [G, S_Lt]
 
-        w, leafl = self._leaf_frame(ppad, mask3, fs)
+    def l2p_blocks(self, ppad: jax.Array, mask3: jax.Array,
+                   leaf_local: jax.Array, leafc: jax.Array,
+                   leafl: jax.Array) -> jax.Array:
+        """L2P on a run of padded leaf blocks (any contiguous slice)."""
+        t = self.tables
+        w = (ppad - leafc[:, None, :]) / leafl[:, None, None]
+        w = jnp.where(mask3[..., None], w, 0.0)
         F = mop.l2p_field_blocked(t, leaf_local, w, leafl)
         return F * mask3[..., None]
+
+    def _stage_local(self, ppad: jax.Array, mask3: jax.Array,
+                     local_heap: jax.Array, fs: FmmState) -> jax.Array:
+        """L2L down + L2P; far-field acceleration on padded blocks."""
+        L = self.L
+        G = 1 << L
+        leaf0 = _heap_off(L)
+        leaf_local = self.l2l_down(local_heap, fs)
+        return self.l2p_blocks(ppad, mask3, leaf_local,
+                               fs.center[leaf0:leaf0 + G],
+                               fs.lam[leaf0:leaf0 + G])
 
     def _stage_p2p(self, ppad: jax.Array, fs: FmmState) -> jax.Array:
         """Near-field pass; acceleration on padded blocks [G, C, dim].

@@ -1,7 +1,13 @@
 """North-star metric: relative energy drift over 10k leapfrog steps
 (BASELINE.md: target <= 1e-6 on one TPU chip).
 
-Usage: python scripts/energy_drift.py [n] [steps] [engine]
+The Hamiltonian is measured on host in float64 (ops/energy.py
+total_energy_f64): an f32 accumulator's own noise (~1e-7 scale) cannot
+certify a 1e-6 bound.  For n > 200k the O(N^2) f64 host sum is impractical
+and the O(N) FMM potential is used instead (diagnostic-grade).
+
+Usage: python scripts/energy_drift.py [n] [steps] [engine] [p] [r] [dt]
+       python scripts/energy_drift.py sweep          # config sweep
 """
 
 import sys
@@ -14,19 +20,16 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def run_one(n, steps, engine, p_order, radius, dt=5e-4, block=1000,
+            integrator="leapfrog", quiet=False):
     from coulomb_oscillators_tpu import SimConfig, ParticleState
     from coulomb_oscillators_tpu.models import init_dist as ID
     from coulomb_oscillators_tpu.models import oscillator as M
+    from coulomb_oscillators_tpu.ops import energy as E
     from coulomb_oscillators_tpu.simulate import Simulator
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30001
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-    engine = sys.argv[3] if len(sys.argv) > 3 else "fmm3_kd"
-    p_order = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    radius = float(sys.argv[5]) if len(sys.argv) > 5 else 2.0
-
-    config = SimConfig(fmm_order=p_order, tree_radius=radius)
+    config = SimConfig(fmm_order=p_order, tree_radius=radius, dt=dt,
+                       integrator=integrator)
     x = (0.003, 0.001, 0.01)
     u = tuple(w * xs for w, xs in zip(config.omega0, x))
     pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
@@ -36,29 +39,68 @@ def main():
     sim = Simulator(config, n, engine=engine)
     state = sim.init_acc(state)
 
+    kappa = config.kappa(n)
+    om2 = config.omega0_sq()
+
     def energy(st):
         if n > 200_000 and sim._fmm is not None:
             return float(M.total_energy_fmm(config, st, sim._fmm,
                                             sim._fmm.build(st.pos)))
-        return float(M.total_energy(config, st))
+        return E.total_energy_f64(st.pos, st.vel, config.eps2, kappa, om2)
 
     e0 = energy(state)
-    print(f"n={n} engine={engine} E0={e0:.9e}", flush=True)
+    if not quiet:
+        print(f"n={n} engine={engine} p={p_order} r={radius} dt={dt} "
+              f"integ={integrator} E0={e0:.12e}", flush=True)
 
     t0 = time.time()
     done = 0
-    block = 1000
+    drift = 0.0
+    max_drift = 0.0
     while done < steps:
         k = min(block, steps - done)
         state = sim.run(state, k)
         done += k
         e = energy(state)
         drift = abs(e - e0) / abs(e0)
-        dt = time.time() - t0
-        print(f"step {done:6d}  E={e:.9e}  drift={drift:.3e}  "
-              f"({done * n / dt / 1e6:.2f} M psteps/s)", flush=True)
+        max_drift = max(max_drift, drift)
+        if not quiet:
+            wall = time.time() - t0
+            print(f"step {done:6d}  E={e:.12e}  drift={drift:.3e}  "
+                  f"({done * n / wall / 1e6:.2f} M psteps/s)", flush=True)
 
-    print(f"FINAL drift after {steps} steps: {drift:.3e}")
+    wall = time.time() - t0
+    psteps = steps * n / wall / 1e6
+    print(f"RESULT n={n} engine={engine} p={p_order} r={radius} dt={dt} "
+          f"integ={integrator}: final_drift={drift:.3e} "
+          f"max_drift={max_drift:.3e} ({psteps:.2f} M psteps/s)", flush=True)
+    return drift, max_drift, psteps
+
+
+def sweep(steps=10_000):
+    """Search for the config meeting the <=1e-6 bound (VERDICT item 2)."""
+    n = 30001
+    configs = [
+        ("direct", 3, 2.0, 5e-4, "leapfrog"),     # exact-force f32 floor
+        ("fmm3_kd", 4, 2.0, 5e-4, "leapfrog"),
+        ("fmm3_kd", 6, 2.5, 5e-4, "leapfrog"),
+        ("fmm3_kd", 8, 3.0, 5e-4, "leapfrog"),
+    ]
+    for engine, p, r, dt, integ in configs:
+        run_one(n, steps, engine, p, r, dt, integrator=integ, quiet=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000)
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30001
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    engine = sys.argv[3] if len(sys.argv) > 3 else "fmm3_kd"
+    p_order = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    radius = float(sys.argv[5]) if len(sys.argv) > 5 else 2.0
+    dt = float(sys.argv[6]) if len(sys.argv) > 6 else 5e-4
+    run_one(n, steps, engine, p_order, radius, dt)
 
 
 if __name__ == "__main__":

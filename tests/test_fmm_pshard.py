@@ -1,0 +1,92 @@
+"""Particle-sharded kd-FMM on the virtual 8-device CPU mesh.
+
+Checks VERDICT item 8's contract: per-device position shard is n/ndev (leaf
+blocks are distributed, not replicated), and the sharded force/step matches
+the single-device engine to f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from coulomb_oscillators_tpu import SimConfig, ParticleState
+from coulomb_oscillators_tpu.models import init_dist as ID
+from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
+from coulomb_oscillators_tpu.ops.fmm.kdtree import FAR
+from coulomb_oscillators_tpu.parallel import mesh as PM
+from coulomb_oscillators_tpu.parallel.fmm_pshard import (
+    PShardedKdFmm, make_psharded_step, shard_pair_lists)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = SimConfig(fmm_order=3, tree_radius=2.0)
+    n = 4096
+    x = (0.003, 0.001, 0.01)
+    u = tuple(w * xs for w, xs in zip(config.omega0, x))
+    pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
+    eng = KdFmmEngine(config, n)
+    fs = eng.build(jnp.asarray(pos))
+    return config, n, pos, vel, eng, fs
+
+
+def test_force_matches_single_device(setup):
+    config, n, pos, vel, eng, fs = setup
+    mesh = PM.make_mesh(8)
+    ps = PShardedKdFmm(eng, mesh)
+    ppad = eng.pad_array(jnp.asarray(pos), fs, fill=FAR)
+    ppad_sh = ps.shard_padded(ppad)
+    # the state is genuinely distributed: each device holds G/8 leaf blocks
+    shard_shapes = {s.data.shape for s in ppad_sh.addressable_shards}
+    G, C = (1 << eng.L), eng.st.C
+    assert shard_shapes == {(G // 8, C, 3)}
+
+    lists, hops = shard_pair_lists(eng, fs, 8)
+    assert 0 in hops
+    acc_sh = ps.force_padded(ppad_sh, fs, lists, hops)
+    ref = eng.force(jnp.asarray(pos), fs)
+    got = eng.unpad_array(acc_sh, fs)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    err = float(jnp.max(jnp.linalg.norm(got - ref, axis=1))) / scale
+    assert err < 1e-5, err
+
+
+def test_hop_grouping_covers_all_pairs(setup):
+    config, n, pos, vel, eng, fs = setup
+    lists, hops = shard_pair_lists(eng, fs, 8)
+    total = sum(int(np.asarray(v).sum()) for v in lists.p2p_val)
+    assert total == int(np.asarray(fs.p2p_valid).sum())
+    assert int(np.asarray(lists.m2l_val).sum()) == \
+        int(np.asarray(fs.m2l_valid).sum())
+
+
+def test_full_step_matches_padded_sim(setup):
+    config, n, pos, vel, eng, fs = setup
+    mesh = PM.make_mesh(8)
+    om2 = config.omega0_sq()
+    ps, step_fn = make_psharded_step(eng, mesh, config, om2)
+    lists, hops = shard_pair_lists(eng, fs, 8)
+
+    pos_j, vel_j = jnp.asarray(pos), jnp.asarray(vel)
+    acc0_sh = ps.force_padded(
+        ps.shard_padded(eng.pad_array(pos_j, fs, fill=FAR)), fs, lists, hops)
+    acc0_sh = acc0_sh - ps.shard_padded(eng.pad_array(pos_j, fs)) * \
+        jnp.asarray(om2)[None, None, :]
+    acc0_sh = jnp.where(ps.shard_padded(
+        jnp.broadcast_to(eng.mask3[..., None], acc0_sh.shape)), acc0_sh, 0.0)
+    pstate = ParticleState(
+        ps.shard_padded(eng.pad_array(pos_j, fs, fill=FAR)),
+        ps.shard_padded(eng.pad_array(vel_j, fs)), acc0_sh)
+    out = step_fn(pstate, fs, lists, hops)
+
+    # single-device reference: one leapfrog step through the Simulator
+    from coulomb_oscillators_tpu.simulate import Simulator
+    sim = Simulator(config, n, engine="fmm3_kd")
+    st = sim.init_acc(ParticleState(pos_j, vel_j, jnp.zeros_like(pos_j)))
+    ref = sim.run(st, 1)
+
+    got_pos = eng.unpad_array(out.pos, fs)
+    scale = float(jnp.max(jnp.abs(ref.pos)))
+    err = float(jnp.max(jnp.abs(got_pos - ref.pos))) / scale
+    assert err < 1e-5, err

@@ -35,16 +35,33 @@ def test_octree_converges(dim, L):
     assert errs[1] < 5e-3, errs
 
 
-def test_appel_is_monopole_octree():
+@pytest.mark.parametrize("dim", [3, 2])
+def test_appel_monopole_tree(dim):
+    """Dedicated Appel engine (appel.cuh): COC monopole far field."""
     from coulomb_oscillators_tpu.ops.fmm import make_engine_object
-    cfg = SimConfig()
+    from coulomb_oscillators_tpu.ops.fmm.appel import AppelEngine
+    omega = (1.095, 1.0, 1.0)[:dim]
+    cfg = SimConfig(dim=dim, omega0=omega)
     eng = make_engine_object(cfg, N, "appel")
-    assert isinstance(eng, OctreeFmmEngine)
-    assert eng.p == 2
-    pos = _uniform(3)
+    assert isinstance(eng, AppelEngine)
+    pos = _uniform(dim)
     acc = eng.force(pos, eng.build(pos))
     ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
-    assert float(mean_rel_err(acc, ref)) < 0.2  # monopole-grade accuracy
+    # monopole-about-COC has no dipole term; quadrupole error remains
+    assert float(mean_rel_err(acc, ref)) < 0.05
+
+
+def test_appel_improves_with_depth():
+    """Finer leaves shrink the far-field cells -> smaller quadrupole error."""
+    from coulomb_oscillators_tpu.ops.fmm.appel import AppelEngine
+    cfg = SimConfig()
+    pos = _uniform(3)
+    ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
+    errs = []
+    for L in (2, 3):
+        eng = AppelEngine(cfg, N, L=L)
+        errs.append(float(mean_rel_err(eng.force(pos, eng.build(pos)), ref)))
+    assert errs[1] < errs[0], errs
 
 
 def test_octree_engine_registry():
