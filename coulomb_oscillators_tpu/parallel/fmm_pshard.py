@@ -271,6 +271,46 @@ class PShardedKdFmm:
         return fn
 
 
+def make_psharded_scan(eng: KdFmmEngine, mesh: Mesh, config, omega0_sq,
+                       axis: str = "dp"):
+    """(ps, scan_fn): inter-rebuild scan on the SHARDED padded state.
+
+    scan_fn(pstate, fs, lists, hops, k) advances k integrator steps as one
+    jitted fori_loop; the shard_map'd force (with its all_gather / psum /
+    ppermute collectives) sits inside the loop body, so the whole window is
+    a single XLA program per device — the multi-chip twin of
+    Simulator._make_fmm_scan_padded.
+    """
+    from coulomb_oscillators_tpu.models import integrators as I
+
+    ps = PShardedKdFmm(eng, mesh, axis)
+    mask3 = jax.device_put(
+        eng.mask3[..., None],
+        NamedSharding(mesh, P(axis, None, None)))
+    om2 = jnp.asarray(omega0_sq, jnp.float32)
+    cache = {}
+
+    def scan_fn(pstate, fs, lists, hops, k):
+        fn = cache.get(hops)
+        if fn is None:
+            force_p = ps._force_for(hops)
+
+            @jax.jit
+            def scan_k(pstate, fs, lists, kk):
+                def force(ppad):
+                    acc = force_p(ppad, fs, lists)
+                    acc = acc - ppad * om2[None, None, :]
+                    return jnp.where(mask3, acc, 0.0)
+
+                step = I.make_step(force, config.integrator, config.dt)
+                return jax.lax.fori_loop(0, kk, lambda _, s: step(s), pstate)
+
+            fn = cache[hops] = scan_k
+        return fn(pstate, fs, lists, jnp.int32(k))
+
+    return ps, scan_fn
+
+
 def make_psharded_step(eng: KdFmmEngine, mesh: Mesh, config, omega0_sq,
                        axis: str = "dp"):
     """Full jittable training step on sharded padded state.

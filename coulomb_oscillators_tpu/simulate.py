@@ -24,7 +24,11 @@ from coulomb_oscillators_tpu.state import ParticleState
 class Simulator:
     """Runs the Coulomb-oscillator system with any force engine."""
 
-    def __init__(self, config: SimConfig, n: int, engine: str = "direct"):
+    def __init__(self, config: SimConfig, n: int, engine: str = "direct",
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — runs the kd-FMM padded scan
+        particle-sharded over the mesh (parallel/fmm_pshard.py); each device
+        owns n/P particles.  Only supported for the kd engines."""
         self.config = config
         self.n = n
         self.engine_name = engine
@@ -39,12 +43,24 @@ class Simulator:
         self._use_padded = False
         self._pending = None      # in-flight background re-sort
         self._pool = None
+        self._mesh = mesh
+        self._ps = None           # PShardedKdFmm when mesh is set
 
         if engine.startswith("fmm") or engine == "appel":
             from coulomb_oscillators_tpu.ops import fmm as fmm_mod
             self._fmm = fmm_mod.make_engine_object(config, n, engine)
             self._use_padded = hasattr(self._fmm, "force_padded_in_jit")
-            if self._use_padded:
+            if mesh is not None:
+                if not self._use_padded:
+                    raise ValueError(
+                        f"mesh mode needs a kd engine, got {engine!r}")
+                from coulomb_oscillators_tpu.parallel.fmm_pshard import (
+                    make_psharded_scan)
+                self._ps, self._psharded_scan = make_psharded_scan(
+                    self._fmm, mesh, config, self.omega0_sq)
+                self._plists = None
+                self._phops = None
+            elif self._use_padded:
                 self._scan_step = self._make_fmm_scan_padded()
             else:
                 self._scan_step = self._make_fmm_scan()
@@ -109,9 +125,18 @@ class Simulator:
         from coulomb_oscillators_tpu.ops.fmm.kdtree import FAR
         eng = self._fmm
         fs = self._fstate
-        return ParticleState(eng.pad_array(state.pos, fs, fill=FAR),
-                             eng.pad_array(state.vel, fs),
-                             eng.pad_array(state.acc, fs))
+        out = ParticleState(eng.pad_array(state.pos, fs, fill=FAR),
+                            eng.pad_array(state.vel, fs),
+                            eng.pad_array(state.acc, fs))
+        if self._ps is not None:
+            out = ParticleState(*(self._ps.shard_padded(x) for x in out))
+        return out
+
+    def _reshard_lists(self) -> None:
+        from coulomb_oscillators_tpu.parallel.fmm_pshard import (
+            shard_pair_lists)
+        self._plists, self._phops = shard_pair_lists(
+            self._fmm, self._fstate, self._ps.ndev)
 
     def _unpad_state(self, pstate: ParticleState) -> ParticleState:
         eng = self._fmm
@@ -135,6 +160,8 @@ class Simulator:
                                         self.engine_name)(state.pos)
         out = state._replace(acc=acc)
         if self._fmm is not None and self._use_padded:
+            if self._ps is not None:
+                self._reshard_lists()
             self._padded = self._pad_state(out)
             self._last_out = out
         return out
@@ -143,6 +170,8 @@ class Simulator:
         """Advance `steps` iterations, rebuilding the tree as configured."""
         if self._fmm is None:
             return self._plain_scan(state, steps)
+        if self._ps is not None:
+            return self._run_psharded(state, steps)
         if self._use_padded:
             return self._run_padded(state, steps)
 
@@ -157,6 +186,34 @@ class Simulator:
             self._steps_since_build += k
             done += k
         return state
+
+    def _run_psharded(self, state: ParticleState, steps: int) -> ParticleState:
+        """Multi-device run: the padded scan executes particle-sharded over
+        the mesh (parallel/fmm_pshard.py); rebuilds are synchronous (host
+        traversal + list resharding at window boundaries)."""
+        ts = max(self.config.tree_steps, 1)
+        if (self._padded is None or self._fstate is None
+                or state is not self._last_out):
+            self._fstate = self._fmm.build(state.pos)
+            self._reshard_lists()
+            self._steps_since_build = 0
+            self._padded = self._pad_state(state)
+        done = 0
+        while done < steps:
+            if self._steps_since_build >= ts:
+                cur = self._unpad_state(self._padded)
+                self._fstate = self._fmm.build(cur.pos)
+                self._reshard_lists()
+                self._padded = self._pad_state(cur)
+                self._steps_since_build = 0
+            k = min(ts - self._steps_since_build, steps - done)
+            self._padded = self._psharded_scan(
+                self._padded, self._fstate, self._plists, self._phops, k)
+            self._steps_since_build += k
+            done += k
+        out = self._unpad_state(self._padded)
+        self._last_out = out
+        return out
 
     def _run_padded(self, state: ParticleState, steps: int) -> ParticleState:
         ts = max(self.config.tree_steps, 1)

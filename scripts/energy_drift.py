@@ -46,7 +46,7 @@ def run_one(n, steps, engine, p_order, radius, dt=5e-4, block=1000,
         if n > 200_000 and sim._fmm is not None:
             return float(M.total_energy_fmm(config, st, sim._fmm,
                                             sim._fmm.build(st.pos)))
-        return E.total_energy_f64(st.pos, st.vel, config.eps2, kappa, om2)
+        return E.total_energy_kahan(st.pos, st.vel, config.eps2, kappa, om2)
 
     e0 = energy(state)
     if not quiet:

@@ -7,10 +7,13 @@ bench.py / __graft_entry__.py on hardware.
 Setting os.environ here is NOT enough: the environment may inject a
 sitecustomize (PYTHONPATH=/root/.axon_site) that imports jax and registers
 a TPU backend at interpreter startup — before any conftest runs — after
-which JAX_PLATFORMS/XLA_FLAGS changes are silently ignored and the "8-device
-CPU mesh" is actually one TPU chip.  So if jax is already up on the wrong
-platform, re-exec pytest once with a corrected environment (cpu platform,
-8 virtual host devices, no preloading PYTHONPATH entries).
+which JAX_PLATFORMS/XLA_FLAGS env changes are silently ignored and the
+"8-device CPU mesh" is actually one TPU chip.  (A conftest re-exec is no
+fix either: pytest's fd-level capture is already active, so the child's
+output lands in a deleted tempfile.)  So when jax is already up on the
+wrong platform, switch it in-process: update jax_platforms, then reset the
+backend cache so the CPU client is created fresh under the forced
+device-count flag.
 """
 
 import os
@@ -18,46 +21,23 @@ import sys
 
 _FLAG = "--xla_force_host_platform_device_count=8"
 
+os.environ["JAX_PLATFORMS"] = "cpu"
+_xla = " ".join(f for f in os.environ.get("XLA_FLAGS", "").split()
+                if "xla_force_host_platform_device_count" not in f)
+os.environ["XLA_FLAGS"] = (_xla + " " + _FLAG).strip()
 
-def _env_ok() -> bool:
-    if os.environ.get("JAX_PLATFORMS") != "cpu":
-        return False
-    if "xla_force_host_platform_device_count" not in os.environ.get(
-            "XLA_FLAGS", ""):
-        return False
-    if "jax" in sys.modules:
-        import jax
-        try:
-            if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
-                return False
-        except Exception:
-            pass
-    return True
+if "jax" in sys.modules:
+    import jax
 
+    if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
+        jax.config.update("jax_platforms", "cpu")
+        import jax._src.xla_bridge as xb
 
-if not _env_ok() and not os.environ.get("_CO_TESTS_REEXEC"):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    xla = " ".join(f for f in env.get("XLA_FLAGS", "").split()
-                   if "xla_force_host_platform_device_count" not in f)
-    env["XLA_FLAGS"] = (xla + " " + _FLAG).strip()
-    # drop sitecustomize injectors (e.g. the axon TPU tunnel) so a fresh
-    # interpreter starts with jax un-imported
-    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-          if p and "axon" not in p]
-    if pp:
-        env["PYTHONPATH"] = os.pathsep.join(pp)
-    else:
-        env.pop("PYTHONPATH", None)
-    env["_CO_TESTS_REEXEC"] = "1"
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-if "xla_force_host_platform_device_count" not in os.environ.get(
-        "XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
+        xb._clear_backends()
+        # _clear_backends resets the registry but not the get_backend()
+        # memo that default_backend()/devices() read through
+        xb.get_backend.cache_clear()
+        assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,62 @@
+"""Energy diagnostics: the f64 host oracle and the device Kahan hybrid.
+
+The north-star drift bound (<=1e-6 @10k steps, BASELINE.md) requires the
+*measurement* to be far below 1e-6 noise; these tests pin the two
+implementations against each other and against a brute-force f64 sum.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from coulomb_oscillators_tpu.ops import energy as E
+
+ARGS = (1e-18, 2e-6 / 1000, (1.2, 1.0, 1.0))
+
+
+def _state(n=1000, seed=3):
+    rng = np.random.default_rng(seed)
+    pos = (rng.normal(size=(n, 3)) * 0.01).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 0.001).astype(np.float32)
+    return pos, vel
+
+
+def _brute(pos, vel, eps2, kappa, om2):
+    p = pos.astype(np.float64)
+    d = p[:, None, :] - p[None, :, :]
+    d2 = (d * d).sum(-1) + eps2
+    phi = 1.0 / np.sqrt(d2)
+    np.fill_diagonal(phi, 0.0)
+    return (0.5 * np.sum(vel.astype(np.float64) ** 2)
+            + 0.5 * np.sum(p * p * np.asarray(om2))
+            + 0.5 * kappa * phi.sum())
+
+
+def test_f64_oracle_matches_brute_force():
+    pos, vel = _state()
+    got = E.total_energy_f64(pos, vel, *ARGS)
+    want = _brute(pos, vel, *ARGS)
+    assert abs(got - want) / abs(want) < 1e-14
+
+
+def test_kahan_hybrid_matches_oracle():
+    pos, vel = _state()
+    got = E.total_energy_kahan(pos, vel, *ARGS)
+    want = E.total_energy_f64(pos, vel, *ARGS)
+    # device rows are f32 (but Kahan-compensated): ~1e-9 total is expected,
+    # two orders below the 1e-6 certification bound
+    assert abs(got - want) / abs(want) < 3e-9
+
+
+def test_kahan_rows_exclude_self_term():
+    pos, vel = _state(n=700)
+    rows = np.asarray(E.potential_rows_kahan(jnp.asarray(pos), 1e-18))
+    # a self term would add 1/eps = 1e9 per row; rows must stay O(1e2-1e5)
+    assert np.all(rows < 1e8)
+    p = pos.astype(np.float64)
+    d = p[:, None, :] - p[None, :, :]
+    d2 = (d * d).sum(-1) + 1e-18
+    phi = 1.0 / np.sqrt(d2)
+    np.fill_diagonal(phi, 0.0)
+    want = phi.sum(axis=1)
+    rel = np.abs(rows - want) / np.abs(want)
+    assert rel.max() < 1e-5

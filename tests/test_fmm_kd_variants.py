@@ -45,7 +45,7 @@ def test_kd_2d_converges_with_order():
 def test_kd_float64():
     """f64 end-to-end: device Morton build keeps all geometry in f64; the
     force comes back f64 and at least matches the f32 truncation error."""
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         cfg = SimConfig(fmm_order=4, tree_radius=2.0, precision="float64")
         pos64 = jnp.asarray(
             np.asarray(ID.init_uniform(N, (-1, -1, -1), (1, 1, 1), dim=3),

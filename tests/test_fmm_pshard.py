@@ -90,3 +90,32 @@ def test_full_step_matches_padded_sim(setup):
     scale = float(jnp.max(jnp.abs(ref.pos)))
     err = float(jnp.max(jnp.abs(got_pos - ref.pos))) / scale
     assert err < 1e-5, err
+
+
+def test_simulator_mesh_mode_matches_single_device(setup):
+    """Simulator(mesh=...) runs the padded scan particle-sharded, crossing
+    a rebuild boundary, and stays on the single-device trajectory."""
+    from coulomb_oscillators_tpu.simulate import Simulator
+    config, n, pos, vel, eng, fs = setup
+    cfg = config.replace(tree_steps=4, tree_async=False)
+    mesh = PM.make_mesh(8)
+    pos_j, vel_j = jnp.asarray(pos), jnp.asarray(vel)
+    steps = 6   # crosses one rebuild at step 4
+
+    sim_m = Simulator(cfg, n, engine="fmm3_kd", mesh=mesh)
+    st_m = sim_m.init_acc(ParticleState(pos_j, vel_j, jnp.zeros_like(pos_j)))
+    out_m = sim_m.run(st_m, steps)
+
+    sim_1 = Simulator(cfg, n, engine="fmm3_kd")
+    st_1 = sim_1.init_acc(ParticleState(pos_j, vel_j, jnp.zeros_like(pos_j)))
+    out_1 = sim_1.run(st_1, steps)
+
+    scale = float(jnp.max(jnp.abs(out_1.pos)))
+    err = float(jnp.max(jnp.abs(out_m.pos - out_1.pos))) / scale
+    assert err < 1e-4, err
+    # the sharded sim really distributes the state
+    shard_shapes = {s.data.shape
+                    for s in sim_m._padded.pos.addressable_shards}
+    eng_m = sim_m._fmm
+    G, C = (1 << eng_m.L), eng_m.st.C
+    assert shard_shapes == {(G // 8, C, 3)}
