@@ -21,7 +21,7 @@ ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
 # candidates in rough cost order; the first one meeting ERR_BOUND becomes
 # the headline (the reference's -accuracy grid-search semantics,
 # main3.cu:737-788, restricted to configs plausible at N=1M)
-CANDIDATES = [(4, 1.7), (4, 2.0), (5, 2.0), (5, 2.5), (6, 2.5), (8, 3.0)]
+CANDIDATES = [(4, 1.7), (5, 1.7), (4, 2.0), (5, 2.0), (6, 2.0), (6, 2.5)]
 LOOSE = (3, 1.7)
 
 
@@ -38,10 +38,10 @@ def _init_state(n):
                          jnp.zeros((n, 3), jnp.float32))
 
 
-def _force_err(eng, fs, pos, acc_ref, sub):
+def _force_err(eng, fs, pos, acc_ref_sub, sub):
     from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
     acc = eng.force(pos, fs)
-    return float(mean_rel_err(acc[sub], acc_ref[sub]))
+    return float(mean_rel_err(acc[sub], acc_ref_sub))
 
 
 def _time_steps(sim, state, steps=16):
@@ -63,8 +63,12 @@ def main():
     n = 1_000_000
     state = _init_state(n)
     base = SimConfig()
-    acc_ref = D.direct(state.pos, base.eps2, base.kappa(n))
     sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
+    # Kahan-targets oracle (direct3 semantics): the plain f32 direct kernel
+    # has ~2e-3 of its own accumulation noise at N=1M and cannot certify a
+    # 1e-3 bound
+    acc_ref = D.direct_kahan_targets(state.pos[sub], state.pos,
+                                     base.eps2, base.kappa(n))
     jax.block_until_ready(acc_ref)
 
     # --- auto-tune: cheapest candidate under the bound ---

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-omega", dest="kv_omega", type=float, nargs=2,
                    default=None,
                    help="2D: KV depressed phase advances override")
+    p.add_argument("-chips", dest="chips", type=int, default=0,
+                   help="run particle-sharded over this many devices "
+                        "(kd engines; 0 = single device).  TPU-native "
+                        "extension — the reference is single-GPU")
     # accepted for reference-CLI compatibility; XLA owns launch geometry
     p.add_argument("-gpu", dest="gpu_blocksize", type=int, default=None,
                    help="(compat; block size is chosen by the compiler)")
@@ -217,7 +221,15 @@ def main(argv: Optional[list] = None) -> int:
     os.makedirs(args.out, exist_ok=True)
     SIO.write_args(args.out, sys.argv if argv is None else ["nbco3"] + list(argv))
 
-    sim = Simulator(config, n, engine=engine)
+    mesh = None
+    if args.chips:
+        from coulomb_oscillators_tpu.parallel import mesh as PM
+        ndev = len(jax.devices())
+        if args.chips > ndev:
+            print(f"-chips {args.chips}: only {ndev} devices visible")
+            return -1
+        mesh = PM.make_mesh(args.chips)
+    sim = Simulator(config, n, engine=engine, mesh=mesh)
     state = sim.init_acc(state)
 
     # reference cadence (main3.cu:841-873): snapshot out<iter> written when

@@ -88,6 +88,15 @@ int32_t co_traverse(const float* center, const float* lb, const float* rb,
     sz[i] = s;
   }
   const float expo = 1.0f / float(3 * p + 6);
+  // (radius * Mf)^2 per node: Mf = (mult/n)^expo is monotone in mult, so
+  // the pair value (radius*(max mult)^expo)^2 = max of the two node values.
+  // Precomputing it hoists std::pow out of the traversal hot loop (the pow
+  // dominated at deep refinements: millions of visited pairs).
+  std::vector<float> pm2(M);
+  for (int64_t i = 0; i < M; ++i) {
+    float Mf = std::pow(float(mult[i]) / float(n), expo);
+    pm2[i] = (radius * Mf) * (radius * Mf);
+  }
   int64_t nm = 0, np_ = 0;
   std::vector<std::pair<int64_t, int64_t>> stack;
   stack.reserve(4096);
@@ -101,9 +110,7 @@ int32_t co_traverse(const float* center, const float* lb, const float* rb,
         float d = center[i * dim + a] - center[j * dim + a];
         dist2 += d * d;
       }
-      float Mf = std::pow(float(std::max(mult[i], mult[j])) / float(n), expo);
-      float pM = radius * Mf;
-      if (pM * pM * std::max(sz[i], sz[j]) < dist2) {
+      if (std::max(pm2[i], pm2[j]) * std::max(sz[i], sz[j]) < dist2) {
         if (nm < m2l_cap) {
           m2l_out[2 * nm] = int32_t(i);
           m2l_out[2 * nm + 1] = int32_t(j);

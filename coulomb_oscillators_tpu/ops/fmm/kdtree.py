@@ -353,8 +353,7 @@ class KdFmmEngine:
     def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
                  leaf_target: int = 128, m2l_chunk: int = 65536,
                  p2p_chunk: int = 256, sort_mode: str = "auto",
-                 use_pallas: Optional[bool] = None,
-                 p2p_form: str = "diff"):
+                 use_pallas: Optional[bool] = None):
         self.config = config
         self.n = n
         self.dim = config.dim
@@ -373,7 +372,6 @@ class KdFmmEngine:
         self.caps = {"p2p": 256, "m2l": 256}
         self.m2l_chunk = m2l_chunk
         self.p2p_chunk = p2p_chunk
-        self.p2p_form = p2p_form
         self.sort_mode = sort_mode
         self._force_jit = jax.jit(self._force_impl)
         self._potential_jit = jax.jit(self._potential_impl)
@@ -440,7 +438,10 @@ class KdFmmEngine:
         if self.use_pallas:
             # CSR + dense-degree layout only the Pallas kernel reads; its
             # col2d is the single largest upload (G x dmax i32), so it is
-            # built/shipped only when that path is on
+            # built/shipped only when that path is on.  Padding entries
+            # point at the FAR sentinel block (id G): the K-wide kernel
+            # tiles read past each leaf's degree up to the next KBLK
+            # multiple, and sentinel sources contribute exactly zero.
             row_ptr = np.searchsorted(p2p[:, 0], np.arange(G + 1),
                                       side="left").astype(np.int32)
             degrees = np.diff(row_ptr)
@@ -449,7 +450,7 @@ class KdFmmEngine:
             if dmax > self.caps.get("dmax", 0):
                 self.caps["dmax"] = dmax
             dmax = self.caps["dmax"]
-            col2d = np.zeros((G, dmax), dtype=np.int32)
+            col2d = np.full((G, dmax), G, dtype=np.int32)
             if p2p.shape[0]:
                 ranks = np.arange(p2p.shape[0]) - row_ptr[p2p[:, 0]]
                 col2d[p2p[:, 0], ranks] = p2p[:, 1]
@@ -554,9 +555,15 @@ class KdFmmEngine:
         """Dual-tree traversal: native C++ when available, numpy fallback.
         Returns pair lists expanded to both directions and target-sorted."""
         from coulomb_oscillators_tpu import native as conative
+        # seed capacities from the previous traversal so growth never costs
+        # a full re-traversal (the native path re-runs on overflow)
+        last = getattr(self, "last_counts", None) or {}
+        caps = {k: max(1 << 20, int(last.get(k, 0) * 1.3))
+                for k in ("m2l", "p2p")}
         out = conative.traverse(c_h, lb_h, rb_h, self.st.mult, self.L,
                                 self.n, self.dim, self.p,
-                                float(self.config.tree_radius))
+                                float(self.config.tree_radius),
+                                m2l_cap=caps["m2l"], p2p_cap=caps["p2p"])
         if out is None:
             return _traverse_host(
                 c_h, lb_h, rb_h, self.st.mult, self.L, self.n, self.p,
@@ -880,16 +887,18 @@ class KdFmmEngine:
     def _stage_p2p(self, ppad: jax.Array, fs: FmmState) -> jax.Array:
         """Near-field pass; acceleration on padded blocks [G, C, dim].
 
-        Default form ("mxu"): exact per-axis displacements feed dist2 (no
-        quadratic-form cancellation), then the force assembly
-            f_d = t'_d * sum_s w  -  sum_s w * s'_d
-        rides the MXU as one [pc,C,C]x[pc,C,dim] batched matmul over
-        leaf-centered coordinates (centering keeps |t'| at leaf scale so the
-        two assembly terms cancel benignly).  This replaces the reference's
+        "diff" form (default): per-axis displacements feed dist2 and the
+        force reduce runs on the VPU, replacing the reference's
         warp-cooperative accumulation (fmm_p2p3_kdtree_coalesced,
-        fmm_cart3_kdtree.cuh:767-1046) with matmul-offloaded reduction.
-        "diff" form: the all-VPU reduce (higher precision assembly, used by
-        accuracy-critical runs).  "pallas": the explicit DMA kernel.
+        fmm_cart3_kdtree.cuh:767-1046) with chunked segment sums.
+        "pallas": the VMEM-resident explicit kernel (p2p_pallas.py).
+
+        A third, MXU-assembled form (f_d = t'_d * sum w - sum w s'_d as a
+        batched matmul) was removed in round 2: for close pairs the two
+        assembly terms are each O(sum_w * leaf_scale) while their difference
+        is O(w * |t-s|), so f32 cancellation destroys the result (measured
+        max deviation O(1) at N=1M) — and it was 1.9x slower than the VPU
+        form anyway.
         """
         st = self.st
         n, L, dim, C = self.n, self.L, self.dim, st.C
@@ -901,14 +910,16 @@ class KdFmmEngine:
             from coulomb_oscillators_tpu.ops.fmm import p2p_pallas
             rows = jnp.zeros((G, C, 8), dtype).at[:, :, :dim].set(ppad)
             soa = jnp.swapaxes(rows, 1, 2)                    # [G, 8, C]
+            # sentinel block (id G): all-FAR coordinates -> zero weight
+            sent = jnp.zeros((1, 8, C), dtype).at[:, :dim, :].set(
+                dtype.type(FAR))
+            soa = jnp.concatenate([soa, sent], axis=0)        # [G+1, 8, C]
             out = p2p_pallas.p2p_leaf_pairs(
                 rows, soa, fs.p2p_row_ptr, fs.p2p_col2d,
                 dim=dim, eps2=float(self.config.eps2))
             return out[:, :, :dim]
 
         pos_pad = ppad
-        leaf0 = _heap_off(L)
-        leafc = fs.center[leaf0:leaf0 + G]                    # [G, dim]
 
         tgt = jnp.minimum(fs.p2p_tgt, G - 1)
         src = fs.p2p_src
@@ -919,7 +930,6 @@ class KdFmmEngine:
         tgt_c = jnp.pad(tgt, (0, qpad - Q), constant_values=G).reshape(-1, pchunk)
         src_c = jnp.pad(src, (0, qpad - Q)).reshape(-1, pchunk)
         val_c = jnp.pad(fs.p2p_valid, (0, qpad - Q)).reshape(-1, pchunk)
-        use_mxu = self.p2p_form == "mxu"
 
         def p2p_body(acc, args):
             ti, si, vv = args
@@ -938,22 +948,8 @@ class KdFmmEngine:
             else:
                 wgt = r * r
             wgt = wgt * vv[:, None, None]
-            if use_mxu:
-                # zero the self diagonal: it contributes w*(t-t)=0 exactly in
-                # the diff form, but the two assembly terms would each carry
-                # the huge w(eps) and cancel catastrophically
-                is_self = (ti == si).astype(dtype)
-                eye = jnp.eye(C, dtype=dtype)
-                wgt = wgt * (1.0 - is_self[:, None, None] * eye[None])
-                ct = jnp.take(leafc, ti_cl, axis=0)           # [pc, dim]
-                Tc = P_t - ct[:, None, :]
-                Sc = P_s - ct[:, None, :]
-                sw = jnp.sum(wgt, axis=2)                     # [pc, C]
-                sws = jnp.einsum("pce,ped->pcd", wgt, Sc)     # MXU
-                f = Tc * sw[..., None] - sws
-            else:
-                f = jnp.stack([jnp.sum(ds[a] * wgt, axis=2)
-                               for a in range(dim)], axis=-1)
+            f = jnp.stack([jnp.sum(ds[a] * wgt, axis=2)
+                           for a in range(dim)], axis=-1)
             part = jax.ops.segment_sum(f, ti, num_segments=G + 1,
                                        indices_are_sorted=True)
             return acc + part, None

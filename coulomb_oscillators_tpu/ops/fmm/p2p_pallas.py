@@ -4,20 +4,22 @@ Replaces the reference's shared-memory/subwarp P2P kernels
 (fmm_p2p3_kdtree*, fmm_cart3_kdtree.cuh:767-1132) with a TPU-native
 formulation exploiting the one resource GPUs lack: VMEM large enough to
 hold EVERY source position at once.  The whole SoA position array
-([G, 8, C], ~34 MB at N=1M/C=128) is pinned in VMEM for the entire grid,
+([G+1, 8, C], ~34 MB at N=1M/C=128) is pinned in VMEM for the entire grid,
 so each target leaf reads its partner blocks directly from VMEM — zero
-per-pair DMAs (the previous design issued one small HBM copy per pair and
-was DMA-issue-bound).  Per grid step (one target leaf):
+per-pair DMAs.  Per grid step (one target leaf):
 
   * its row of the partner table arrives via one SMEM DMA,
   * the target block [C, 8] streams in as a normal pipelined block,
-  * a fori_loop over the leaf's degree dynamic-slices source blocks out of
-    the resident SoA, evaluates the softened kernel on [C, C] tiles and
-    accumulates in registers,
+  * a fori_loop over ceil(degree/K) steps gathers K partner blocks from the
+    resident SoA and evaluates the softened kernel on one [C, K*C] tile —
+    the K-wide tile amortizes loop/slice bookkeeping and keeps the VPU
+    pipeline full (the round-1 kernel ran one [C, C] tile per step and was
+    overhead-bound at ~20 G lane-int/s),
   * the output block is written exactly once (no atomics — the TPU answer
     to the reference's myAtomicAdd scatter).
 
-Padded slots sit at FAR so their weights underflow to exactly zero; the
+Padded slots sit at FAR so their weights underflow to exactly zero; padded
+partner-table entries point at an all-FAR sentinel block (index G).  The
 self-pair diagonal contributes d * w(eps) = 0 like the reference's
 self-interaction.  C must be a multiple of 128 (lane dim).
 """
@@ -31,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+KBLK = 8            # partner blocks evaluated per loop step
+
 
 def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_ref, out_ref,
                 colbuf, colsem, *, dim: int, eps2: float):
@@ -40,18 +44,21 @@ def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_ref, out_ref,
     cp = pltpu.make_async_copy(col_hbm.at[g], colbuf, colsem)
     cp.start()
     cp.wait()
-    # colbuf is [1, Dmax] in SMEM; index as colbuf[0, k]
+    # colbuf is [1, Dmax] in SMEM (rows padded with the sentinel block id)
 
     tgt = tgt_ref[0]                                   # [C, 8]
     C = tgt.shape[0]
     tcols = [tgt[:, a:a + 1] for a in range(dim)]      # (C, 1) each
 
     def body(k, carry):
-        s = soa_ref[colbuf[0, k]]                      # [8, C] from VMEM
-        dist2 = jnp.full((C, C), eps2, jnp.float32)
+        base = k * KBLK
+        s = jnp.concatenate(
+            [soa_ref[colbuf[0, base + j]] for j in range(KBLK)],
+            axis=1)                                    # [8, KBLK*C]
+        dist2 = jnp.full((C, KBLK * C), eps2, jnp.float32)
         ds = []
         for a in range(dim):
-            da = tcols[a] - s[a:a + 1, :]              # (C, C)
+            da = tcols[a] - s[a:a + 1, :]              # (C, KBLK*C)
             ds.append(da)
             dist2 = dist2 + da * da
         r = jax.lax.rsqrt(dist2)
@@ -60,7 +67,8 @@ def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_ref, out_ref,
                      for a, c in enumerate(carry))
 
     init = tuple(jnp.zeros((C, 1), jnp.float32) for _ in range(dim))
-    acc = jax.lax.fori_loop(0, deg, body, init)
+    nk = (deg + KBLK - 1) // KBLK
+    acc = jax.lax.fori_loop(0, nk, body, init)
     cols = list(acc) + [jnp.zeros((C, 8 - dim), jnp.float32)]
     out_ref[0] = jnp.concatenate(cols, axis=1)
 
@@ -71,14 +79,15 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
                    dim: int, eps2: float) -> jax.Array:
     """Near-field accelerations on padded leaf blocks.
 
-    pos_rows: [G, C, 8] targets; pos_soa: [G, 8, C] sources (held fully
-    VMEM-resident); row_ptr: [G+1] int32 degree CSR; col2d: [G, Dmax] int32
-    partner leaf ids (row g valid for the first row_ptr[g+1]-row_ptr[g]
-    entries), reshaped to [G, 1, Dmax] so row DMAs slice the untiled
-    leading dim.  Returns [G, C, 8] (coordinate columns 0..dim-1).
+    pos_rows: [G, C, 8] targets; pos_soa: [G+1, 8, C] sources (last block =
+    FAR sentinel; held fully VMEM-resident); row_ptr: [G+1] int32 degree
+    CSR; col2d: [G, Dmax] int32 partner ids with padding entries = G (the
+    sentinel), Dmax a multiple of KBLK.  Returns [G, C, 8].
     """
     G, C, _ = pos_rows.shape
+    assert pos_soa.shape[0] == G + 1
     Dmax = col2d.shape[1]
+    assert Dmax % KBLK == 0
     col3d = col2d.reshape(G, 1, Dmax)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -88,7 +97,7 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # col2d: DMA rows to SMEM
             # whole SoA resident in VMEM across the grid (constant index)
-            pl.BlockSpec((G, 8, C), lambda g, rp: (0, 0, 0),
+            pl.BlockSpec((G + 1, 8, C), lambda g, rp: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C, 8), lambda g, rp: (g, 0, 0),
@@ -103,5 +112,5 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, C, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(row_ptr, pos_rows, col3d, pos_soa)

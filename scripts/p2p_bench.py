@@ -33,8 +33,7 @@ def main():
     pos = jnp.asarray(pos_h)
 
     variants = {
-        "diff": dict(p2p_form="diff"),
-        "mxu": dict(p2p_form="mxu"),
+        "diff": dict(),
         "pallas": dict(use_pallas=True),
     }
     results = {}
@@ -79,6 +78,7 @@ def main():
         results[name] = (t, gint, dev, q, C)
         print(f"{name:7s}: {t * 1e3:8.2f} ms  {gint:7.1f} G lane-int/s  "
               f"C={C} pairs={q}  max_dev={dev:.2e}", flush=True)
+        assert dev < 1e-5, f"{name} disagrees with diff form: {dev}"
 
 
 if __name__ == "__main__":

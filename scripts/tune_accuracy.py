@@ -40,9 +40,13 @@ def measure(n, p, r, steps=12):
 
     eng, fs = sim._fmm, sim._fstate
     acc_fmm = eng.force(state.pos, fs)
-    acc_ref = D.direct(state.pos, config.eps2, config.kappa(n))
     sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
-    err = float(mean_rel_err(acc_fmm[sub], acc_ref[sub]))
+    # Kahan-targets oracle: the plain f32 direct kernel's own accumulation
+    # noise saturates ~2e-3 mean-relative at N=1M and would mask the FMM's
+    # convergence entirely
+    acc_ref = D.direct_kahan_targets(state.pos[sub], state.pos,
+                                     config.eps2, config.kappa(n))
+    err = float(mean_rel_err(acc_fmm[sub], acc_ref))
 
     # single force-eval time
     jax.block_until_ready(eng.force(state.pos, fs))
