@@ -682,7 +682,8 @@ class KdFmmEngine:
         V = hm.eval_monomials(w.reshape(G * C, dim), t.PL, t.dim)
         V = V.reshape(G, C, -1)
         multv = jnp.asarray(t.l2p_mult, dtype)
-        pot_far = jnp.einsum("gj,gcj->gc", Lf * multv[None, :], V)
+        pot_far = jnp.einsum("gj,gcj->gc", Lf * multv[None, :], V,
+                             precision=mop.PREC)
 
         # near-field potential over the p2p list
         pchunk = min(self.p2p_chunk, fs.p2p_tgt.shape[0])

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from coulomb_oscillators_tpu.config import SimConfig
 from coulomb_oscillators_tpu.ops.multipole import operators as mop
+from coulomb_oscillators_tpu.ops.multipole.operators import PREC
 from coulomb_oscillators_tpu.ops.multipole.tables import build_tables
 
 FAR = 1e18
@@ -199,8 +200,10 @@ class OctreeFmmEngine:
                             jnp.float32)                    # [S_Mt, S_Mf]
             self._p2m_proj = P.T                            # fold after p2m
             # row-vector composition: out = vec_trc @ (R^T K P^T)
-            self._k_m2m = jnp.einsum("fa,cfj,bj->cab", R, self._k_m2m, P)
-            self._k_m2l = jnp.einsum("fa,cfl->cal", R, self._k_m2l)
+            self._k_m2m = jnp.einsum("fa,cfj,bj->cab", R, self._k_m2m, P,
+                                     precision=PREC)
+            self._k_m2l = jnp.einsum("fa,cfl->cal", R, self._k_m2l,
+                                     precision=PREC)
 
     # ---------- build ----------
     def build(self, pos: jax.Array) -> OctState:
@@ -250,7 +253,7 @@ class OctreeFmmEngine:
         e = (pos_s - jnp.take(center_of, st.key, axis=0)) / lam_L
         contrib = mop.p2m_contrib(t, e)
         if self._p2m_proj is not None:
-            contrib = contrib @ self._p2m_proj
+            contrib = jnp.matmul(contrib, self._p2m_proj, precision=PREC)
         M_lvl = [None] * (L + 1)
         M_lvl[L] = jax.ops.segment_sum(contrib, st.key, num_segments=cellsL,
                                        indices_are_sorted=True)
@@ -262,7 +265,7 @@ class OctreeFmmEngine:
             child = M_lvl[l + 1].reshape(-1, nsib, SM)
             acc = None
             for c in range(nsib):
-                part = child[:, c, :] @ self._k_m2m[c]
+                part = jnp.matmul(child[:, c, :], self._k_m2m[c], precision=PREC)
                 acc = part if acc is None else acc + part
             M_lvl[l] = acc
 
@@ -291,7 +294,7 @@ class OctreeFmmEngine:
                 starts = tuple(o[a] + 3 for a in range(dim)) + (0,)
                 src = jax.lax.dynamic_slice(
                     Mp, starts, (side,) * dim + (SM,))
-                contrib = src @ K
+                contrib = jnp.matmul(src, K, precision=PREC)
                 m = mk[0]
                 for a in range(1, dim):
                     m = m[..., None] * mk[a]
@@ -309,7 +312,7 @@ class OctreeFmmEngine:
             parent = L_lvl[l - 1]
             out = []
             for c in range(nsib):
-                out.append(parent @ self._k_l2l[c])
+                out.append(jnp.matmul(parent, self._k_l2l[c], precision=PREC))
             shifted = jnp.stack(out, axis=1).reshape(-1, t.S_Lt)
             L_lvl[l] = L_lvl[l] + shifted
 

@@ -155,8 +155,10 @@ def eval_monomials(u, max_order: int, dim: int):
 
 def eval_H(u, max_order: int, dim: int):
     """H entries for a batch of unit vectors u [B, dim]: [B, S_H]."""
+    import jax
     import jax.numpy as jnp
 
     V = eval_monomials(u, max_order, dim)
     coef = jnp.asarray(numerator_matrix(max_order, dim), dtype=u.dtype)
-    return V @ coef
+    # HIGHEST: TPU would otherwise multiply in bf16 (see operators.PREC)
+    return jnp.matmul(V, coef, precision=jax.lax.Precision.HIGHEST)

@@ -21,6 +21,16 @@ import numpy as np
 from coulomb_oscillators_tpu.ops.multipole import harmonics as hm
 from coulomb_oscillators_tpu.ops.multipole.tables import FmmTables, build_tables
 
+# All operator contractions run at HIGHEST precision: on TPU, f32 einsum/
+# matmul inputs are multiplied in bfloat16 by default (1-pass MXU), which
+# floors the whole far field at ~2e-3 relative error regardless of the
+# expansion order p.  Round-2 diagnosis: the engine converged to the f32
+# floor on CPU (p=9 -> 2e-7 at N=20k..400k) while saturating at ~2e-3 on
+# TPU at every (p, r).  HIGHEST selects the 3-pass f32 MXU path (or native
+# f32); the operator matmuls are a small share of the force eval, the
+# near field is VPU-elementwise and unaffected.
+PREC = jax.lax.Precision.HIGHEST
+
 
 def _j(x, dtype=jnp.float32):
     return jnp.asarray(x, dtype=dtype)
@@ -56,7 +66,7 @@ def m2m(t: FmmTables, M: jax.Array, s: jax.Array, rho: jax.Array) -> jax.Array:
     """
     Vs = eval_monomials_M(t, -s)                          # [B, S_M]
     W = _j(t.m2m_W, M.dtype).reshape(t.S_M, -1)
-    K = (Vs @ W).reshape(-1, t.S_M, t.S_M)                # [B, out, in]
+    K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_M, t.S_M)
     Mpre = M * (rho[:, None] ** _j(t.m_order, M.dtype)[None, :])
     return jnp.sum(K * Mpre[:, None, :], axis=2)
 
@@ -72,7 +82,7 @@ def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
     Rh = R / r[:, None]
     H = hm.eval_H(Rh, t.maxH, t.dim)                      # [B, S_H]
     W = _j(t.m2l_W, M.dtype).reshape(t.S_H, -1)
-    K = (H @ W).reshape(-1, t.S_Lt, t.S_M)                # MXU matmul
+    K = jnp.matmul(H, W, precision=PREC).reshape(-1, t.S_Lt, t.S_M)
     v = lam_src / r
     u = lam_tgt / r
     Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
@@ -101,7 +111,7 @@ def m2l_both(t: FmmTables, M1: jax.Array, M2: jax.Array, R: jax.Array,
     Rh = R / r[:, None]
     H = hm.eval_H(Rh, t.maxH, t.dim)
     W = _j(t.m2l_W, M1.dtype).reshape(t.S_H, -1)
-    K = (H @ W).reshape(-1, t.S_Lt, t.S_M)
+    K = jnp.matmul(H, W, precision=PREC).reshape(-1, t.S_Lt, t.S_M)
     # parity sign (-1)^(n_i + m_j) flips K to the -R direction
     sign = _j((-1.0) ** (t.nt_order[:, None] + t.m_order[None, :]), M1.dtype)
     v1 = lam1 / r
@@ -124,7 +134,7 @@ def m2l_both(t: FmmTables, M1: jax.Array, M2: jax.Array, R: jax.Array,
 
 def expand_L(t: FmmTables, Lt: jax.Array) -> jax.Array:
     """Traceless-stored locals -> full symmetric layout [B, S_Lf]."""
-    return Lt @ _j(t.extend_L, Lt.dtype).T
+    return jnp.matmul(Lt, _j(t.extend_L, Lt.dtype).T, precision=PREC)
 
 
 def l2l(t: FmmTables, Lt_parent: jax.Array, s: jax.Array,
@@ -136,7 +146,7 @@ def l2l(t: FmmTables, Lt_parent: jax.Array, s: jax.Array,
     Lf = expand_L(t, Lt_parent)
     Vs = eval_monomials_L(t, s)
     W = _j(t.l2l_W, Lf.dtype).reshape(t.S_Lf, -1)
-    K = (Vs @ W).reshape(-1, t.S_Lt, t.S_Lf)
+    K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_Lt, t.S_Lf)
     out = jnp.sum(K * Lf[:, None, :], axis=2)
     return out * (rho[:, None] ** _j(t.nt_order, Lf.dtype)[None, :])
 
@@ -150,8 +160,8 @@ def l2p_field(t: FmmTables, Lt: jax.Array, w: jax.Array,
     Lf = expand_L(t, Lt)
     V = eval_monomials_L(t, w)                            # [B, S_Lf]
     D = _j(t.l2p_D, Lf.dtype)                             # [dim, S_Lf, S_Lf]
-    U = jnp.einsum("bk,akj->baj", V, D)                   # [B, dim, S_Lf]
-    F = -jnp.einsum("bj,baj->ba", Lf, U)
+    U = jnp.einsum("bk,akj->baj", V, D, precision=PREC)
+    F = -jnp.einsum("bj,baj->ba", Lf, U, precision=PREC)
     return F / lam[:, None]
 
 
@@ -168,8 +178,8 @@ def l2p_field_blocked(t: FmmTables, Lt: jax.Array, w: jax.Array,
     V = V.reshape(G, C, -1)
     D = _j(t.l2p_D, Lf.dtype)                              # [dim, S_V, S_Lf]
     # U[g, c, a, j] = sum_k V[g, c, k] D[a, k, j];  F = -sum_j Lf[g, j] U
-    U = jnp.einsum("gck,akj->gcaj", V, D)
-    F = -jnp.einsum("gj,gcaj->gca", Lf, U)
+    U = jnp.einsum("gck,akj->gcaj", V, D, precision=PREC)
+    F = -jnp.einsum("gj,gcaj->gca", Lf, U, precision=PREC)
     return F / lam[:, None, None]
 
 
@@ -189,7 +199,7 @@ def m2p_field(t: FmmTables, M: jax.Array, R: jax.Array,
     v = lam_src / r
     Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
     W = _j(t.m2p_W, M.dtype).reshape(t.S_H, -1)
-    K = (H @ W).reshape(-1, t.dim, t.S_M)
+    K = jnp.matmul(H, W, precision=PREC).reshape(-1, t.dim, t.S_M)
     F = -jnp.sum(K * Mv[:, None, :], axis=2)
     eta = 1 if t.dim == 3 else 0
     return F / (r[:, None] ** (eta + 1))
