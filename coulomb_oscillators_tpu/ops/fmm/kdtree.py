@@ -363,10 +363,15 @@ class KdFmmEngine:
         self.L = L or auto_level(n, self.p, config.dens_inhom,
                                  config.tree_L, leaf_target)
         self.tables = build_tables(self.dim, self.p)
-        # The Pallas near-field kernel is currently DMA-issue-bound (many
-        # small source-block copies) and loses to the batched-gather scan;
-        # keep it opt-in until the block-merging rewrite.
-        self.use_pallas = bool(use_pallas) if use_pallas is not None else False
+        # Near-field default: the K-unrolled VMEM-resident Pallas kernel on
+        # TPU (48.7 G lane-int/s vs the jnp scan's 24.5 G at N=1M, verified
+        # to 2e-7 — scripts/p2p_bench.py); the scan elsewhere.  dim=2 stays
+        # on the scan (the FAR sentinel's 1/r^2 weight does not underflow
+        # exactly in 2D).
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and config.dim == 3)
+        self.use_pallas = bool(use_pallas)
         self.st = _static_structure(n, self.L,
                                     pad_to=128 if self.use_pallas else 1)
         self.caps = {"p2p": 256, "m2l": 256}
