@@ -119,3 +119,13 @@ def test_simulator_mesh_mode_matches_single_device(setup):
     eng_m = sim_m._fmm
     G, C = (1 << eng_m.L), eng_m.st.C
     assert shard_shapes == {(G // 8, C, 3)}
+
+
+def test_cli_chips_flag(tmp_path):
+    """CLI -chips N drives the particle-sharded simulator end-to-end."""
+    from coulomb_oscillators_tpu import cli
+    out = tmp_path / "out"
+    rc = cli.main(["-n", "1024", "-iters", "8", "-steps", "4",
+                   "-chips", "8", "-engine", "fmm3_kd", "-o", str(out)])
+    assert rc == 0
+    assert (out / "out8_0.000500.bin").exists()
