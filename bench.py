@@ -21,7 +21,7 @@ ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
 # candidates in rough cost order; the first one meeting ERR_BOUND becomes
 # the headline (the reference's -accuracy grid-search semantics,
 # main3.cu:737-788, restricted to configs plausible at N=1M)
-CANDIDATES = [(4, 1.7), (5, 1.7), (4, 2.0), (5, 2.0), (6, 2.0), (6, 2.5)]
+CANDIDATES = [(4, 1.7), (5, 1.7), (5, 2.0), (6, 2.0), (6, 2.5)]
 LOOSE = (3, 1.7)
 
 
@@ -45,14 +45,18 @@ def _force_err(eng, fs, pos, acc_ref_sub, sub):
 
 
 def _time_steps(sim, state, steps=16):
-    n = state.pos.shape[0]
     warm = sim.run(state, 2)
     warm = sim.run(warm, 2)   # second warm-up: compile for scan-layout inputs
     jax.block_until_ready(warm.pos)
-    t0 = time.perf_counter()
-    out = sim.run(warm, steps)
-    np.asarray(out.pos[0])
-    return (time.perf_counter() - t0) / steps
+    # min over repeats: the remote-TPU transport adds sporadic multi-second
+    # stalls that would otherwise dominate a single 16-step sample
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        warm = sim.run(warm, steps)
+        np.asarray(warm.pos[0])
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
 
 
 def main():

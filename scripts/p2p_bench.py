@@ -33,7 +33,7 @@ def main():
     pos = jnp.asarray(pos_h)
 
     variants = {
-        "diff": dict(),
+        "diff": dict(use_pallas=False),
         "pallas": dict(use_pallas=True),
     }
     results = {}
