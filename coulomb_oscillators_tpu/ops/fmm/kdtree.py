@@ -510,6 +510,41 @@ class KdFmmEngine:
         inv[perm] = np.arange(self.n, dtype=perm.dtype)
         return perm, inv
 
+    def build_host(self, pos):
+        """The ENTIRE host side of a rebuild — kd sort, node geometry, MAC
+        traversal, pair lists — as one background-threadable unit (native
+        calls release the GIL).  Returns the ingredient tuple for
+        :meth:`adopt`; requires the native library.
+
+        Used by the async pipeline: the whole rebuild is computed from the
+        window-start positions while the device scans the window, and
+        adoption only uploads.  The resulting tree/lists are one window
+        stale — the same within-window freezing the reference accepts
+        (fmm_cart3_kdtree.cuh:1619: lists are reused unrefreshed for
+        tree_steps iterations)."""
+        import time as _time
+        from coulomb_oscillators_tpu import native as conative
+        bt = {}
+        t0 = _time.perf_counter()
+        pos_h = np.asarray(pos, dtype=np.float32)
+        bt["fetch"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        perm = conative.kdtree_build(pos_h, self.L)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(self.n, dtype=perm.dtype)
+        bt["kd"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        pos_s = pos_h[perm]
+        c_h, lb_h, rb_h, lam_h = conative.node_geometry(pos_s, self.L)
+        bt["geom"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        m2l, p2p = self._traverse(c_h, lb_h, rb_h)
+        bt["traverse"] = _time.perf_counter() - t0
+        return (perm, inv, c_h, lam_h, m2l, p2p, bt)
+
+    def adopt(self, built) -> FmmState:
+        """Upload a :meth:`build_host` result (device work only)."""
+        perm, inv, c_h, lam_h, m2l, p2p, bt = built
+        return self._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p,
+                                    dict(bt))
+
     def refresh(self, ppad: jax.Array, fs: FmmState,
                 perm=None, inv_perm=None) -> FmmState:
         """Exact geometry + pair-list rebuild for an existing padded layout.

@@ -240,15 +240,20 @@ class Simulator:
     def _rebuild_padded(self) -> None:
         """Window-boundary tree rebuild of the padded state.
 
-        Async mode (config.tree_async): adopt the permutation the background
-        thread sorted from last window's positions (exact geometry + MAC
-        lists are still recomputed synchronously right here, so only leaf
-        tightness is one window stale), then kick off the next background
-        re-sort from the current positions.  Sync mode: the reference's
-        blocking rebuild."""
-        import jax.numpy as jnp
+        Async mode (config.tree_async): adopt the FULL rebuild (kd sort,
+        geometry, MAC traversal, lists) the background thread computed from
+        last window's positions — adoption costs only the list upload —
+        then kick off the next background rebuild from the current
+        positions.  The adopted tree is one window stale: the same
+        within-window freezing the reference accepts when reusing lists
+        across tree_steps iterations (fmm_cart3_kdtree.cuh:1619-1642).
+        Sync mode: the reference's blocking rebuild.
+        """
+        from coulomb_oscillators_tpu import native as conative
         eng = self._fmm
-        if not (self.config.tree_async and hasattr(eng, "build_perm")):
+        can_async = (self.config.tree_async and hasattr(eng, "build_host")
+                     and conative.get_lib() is not None)
+        if not can_async:
             cur = self._unpad_state(self._padded)
             self._fstate = eng.build(cur.pos)
             self._padded = self._pad_state(cur)
@@ -256,21 +261,13 @@ class Simulator:
 
         cur = self._unpad_state(self._padded)
         if self._pending is not None:
-            perm_h, inv_h = self._pending.result()
-            perm = jnp.asarray(perm_h)
-            inv = jnp.asarray(inv_h)
-            fs_tmp = self._fstate._replace(perm=perm, inv_perm=inv)
-            from coulomb_oscillators_tpu.ops.fmm.kdtree import FAR
-            padded = ParticleState(eng.pad_array(cur.pos, fs_tmp, fill=FAR),
-                                   eng.pad_array(cur.vel, fs_tmp),
-                                   eng.pad_array(cur.acc, fs_tmp))
-            self._fstate = eng.refresh(padded.pos, fs_tmp)
-            self._padded = padded
+            self._fstate = eng.adopt(self._pending.result())
+            self._padded = self._pad_state(cur)
         else:
             # pipeline priming: exact geometry/list refresh on the current
             # permutation (bounds are exact; only leaf tightness is stale)
             self._fstate = eng.refresh(self._padded.pos, self._fstate)
-        self._pending = self._executor().submit(eng.build_perm, cur.pos)
+        self._pending = self._executor().submit(eng.build_host, cur.pos)
 
     def _executor(self):
         if self._pool is None:
