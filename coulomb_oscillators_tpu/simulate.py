@@ -261,13 +261,16 @@ class Simulator:
 
         cur = self._unpad_state(self._padded)
         if self._pending is not None:
-            self._fstate = eng.adopt(self._pending.result())
+            self._fstate = self._pending.result()
             self._padded = self._pad_state(cur)
         else:
             # pipeline priming: exact geometry/list refresh on the current
             # permutation (bounds are exact; only leaf tightness is stale)
             self._fstate = eng.refresh(self._padded.pos, self._fstate)
-        self._pending = self._executor().submit(eng.build_host, cur.pos)
+        # the worker also performs the adoption uploads (JAX dispatch is
+        # thread-safe), so the window boundary costs only repadding
+        self._pending = self._executor().submit(
+            lambda p=cur.pos: eng.adopt(eng.build_host(p)))
 
     def _executor(self):
         if self._pool is None:
