@@ -545,6 +545,33 @@ class KdFmmEngine:
         return self._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p,
                                     dict(bt))
 
+    def build_device_async(self, pos):
+        """Async rebuild unit with the DEVICE Morton sort: the O(N) work
+        (argsort + per-level segment geometry) runs on chip, only the node
+        geometry ([Mheap, dim], ~600 KB at N=1M) crosses to host for the
+        MAC traversal, and perm/inv never leave the device.
+
+        Replaces build_host when the host round-trip (position fetch +
+        quickselect, ~1.5 s at N=1M through the tunnel) exceeds the scan
+        window; the Morton equal-count tree is slightly looser than the
+        exact kd (a few % more pairs) but the MAC uses true node bounds, so
+        accuracy is unaffected."""
+        import time as _time
+        bt = {}
+        t0 = _time.perf_counter()
+        perm, center, lam, lb, rb = _build_device_morton(
+            pos, self.n, self.L, self.dim)
+        c_h = np.asarray(center)
+        lb_h = np.asarray(lb)
+        rb_h = np.asarray(rb)
+        bt["device_build"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        m2l, p2p = self._traverse(c_h, lb_h, rb_h)
+        bt["traverse"] = _time.perf_counter() - t0
+        inv = jnp.zeros(self.n, jnp.int32).at[perm].set(
+            jnp.arange(self.n, dtype=jnp.int32))
+        return (perm, inv, center, lam, m2l, p2p, bt)
+
     def refresh(self, ppad: jax.Array, fs: FmmState,
                 perm=None, inv_perm=None) -> FmmState:
         """Exact geometry + pair-list rebuild for an existing padded layout.

@@ -251,8 +251,11 @@ class Simulator:
         """
         from coulomb_oscillators_tpu import native as conative
         eng = self._fmm
-        can_async = (self.config.tree_async and hasattr(eng, "build_host")
-                     and conative.get_lib() is not None)
+        use_device = (self.config.tree_async_build == "device"
+                      and hasattr(eng, "build_device_async"))
+        can_async = self.config.tree_async and (
+            use_device or (hasattr(eng, "build_host")
+                           and conative.get_lib() is not None))
         if not can_async:
             cur = self._unpad_state(self._padded)
             self._fstate = eng.build(cur.pos)
@@ -269,8 +272,9 @@ class Simulator:
             self._fstate = eng.refresh(self._padded.pos, self._fstate)
         # the worker also performs the adoption uploads (JAX dispatch is
         # thread-safe), so the window boundary costs only repadding
+        builder = eng.build_device_async if use_device else eng.build_host
         self._pending = self._executor().submit(
-            lambda p=cur.pos: eng.adopt(eng.build_host(p)))
+            lambda p=cur.pos: eng.adopt(builder(p)))
 
     def _executor(self):
         if self._pool is None:
