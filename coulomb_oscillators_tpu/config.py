@@ -50,12 +50,15 @@ class SimConfig:
                                   # staleness only swells leaf bounds slightly).
                                   # False = the reference's fully synchronous rebuild
                                   # cadence (fmm_cart3_kdtree.cuh:1619-1642).
-    tree_async_build: str = "device"  # async-rebuild builder: "device" = on-chip
-                                  # Morton sort + host traversal on fetched node
-                                  # bounds (fits inside the scan window; a few %
-                                  # more pairs than the exact kd, same accuracy);
-                                  # "host" = native kd quickselect (exact splits,
-                                  # costs an O(N) position fetch per rebuild)
+    tree_async_build: str = "host"  # async-rebuild builder: "host" = native kd
+                                  # quickselect (exact equal-count splits; costs
+                                  # an O(N) position fetch per rebuild).
+                                  # "device" = on-chip Morton sort + host
+                                  # traversal on fetched node bounds — cheaper
+                                  # per rebuild, but Morton equal-count leaves
+                                  # are MUCH looser on concentrated anisotropic
+                                  # clouds (13x the P2P pairs on the N=1M beam);
+                                  # only use for quasi-uniform distributions
     dens_inhom: float = 1.0       # density-inhomogeneity factor for auto level (constants.cuh:52)
     coll: bool = True             # include near-field P2P pass (constants.cuh:50)
     unsort: bool = True           # return accelerations in input particle order

@@ -34,7 +34,7 @@ def main():
     sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
     ref = D.direct_kahan_targets(pos[sub], pos, cfg.eps2, cfg.kappa(n))
 
-    for mode in ("kd_native", "morton"):
+    for mode in ("kd_native", "kd_device", "morton"):
         eng = KdFmmEngine(cfg, n, sort_mode=mode)
         fs = eng.build(pos)          # warm-up/compile
         t0 = time.perf_counter()
