@@ -27,13 +27,16 @@ self-interaction.  C must be a multiple of 128 (lane dim).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-KBLK = 8            # partner blocks evaluated per loop step
+# partner blocks evaluated per loop step; env-overridable for tile-size
+# experiments (scripts/p2p_bench.py)
+KBLK = int(os.environ.get("CO_P2P_KBLK", "8"))
 
 
 def _p2p_kernel(row_ptr, tgt_ref, col_hbm, soa_ref, out_ref,
