@@ -133,24 +133,31 @@ def numerator_matrix(max_order: int, dim: int) -> np.ndarray:
 
 
 def eval_monomials(u, max_order: int, dim: int):
-    """Monomials of u [B, dim] over the sym_layout, computed with cumprod
-    powers + gather: V [B, S]."""
+    """Monomials of u [B, dim] over the sym_layout: V [B, S].
+
+    Built from per-axis power columns with STATIC slicing (the exponents
+    are compile-time constants), not fancy-index gathers — TPU row gathers
+    of [B, S] cost hundreds of ms at B ~ 1M, while the static column
+    products fuse into a handful of VPU multiplies."""
     import jax.numpy as jnp
 
     exps = pk.monomial_exponents(max_order, dim)  # [S, dim]
     B = u.shape[0]
-    # powers[axis]: [B, max_order+1]
-    cols = []
+    pows = []                                      # per axis: [B, order+1]
     for axis in range(dim):
         base = jnp.concatenate(
             [jnp.ones((B, 1), u.dtype),
              jnp.repeat(u[:, axis:axis + 1], max_order, axis=1)], axis=1)
-        pows = jnp.cumprod(base, axis=1)            # [B, max_order+1]
-        cols.append(pows[:, exps[:, axis]])          # [B, S]
-    v = cols[0]
-    for c in cols[1:]:
-        v = v * c
-    return v
+        pows.append(jnp.cumprod(base, axis=1))
+    cols = []
+    for s in range(exps.shape[0]):
+        c = pows[0][:, int(exps[s, 0])]
+        for axis in range(1, dim):
+            e = int(exps[s, axis])
+            if e:
+                c = c * pows[axis][:, e]
+        cols.append(c)
+    return jnp.stack(cols, axis=1)
 
 
 def eval_H(u, max_order: int, dim: int):
