@@ -498,18 +498,6 @@ class KdFmmEngine:
         self.last_build_times = bt
         return out
 
-    def build_perm(self, pos) -> Tuple[np.ndarray, np.ndarray]:
-        """Host part of a re-sort: fetch positions + exact equal-count kd
-        permutation (native quickselect).  Designed to run in a background
-        thread overlapping the device scan (ctypes releases the GIL);
-        device-side work (repad + refresh) happens at adoption time."""
-        from coulomb_oscillators_tpu import native as conative
-        pos_h = np.asarray(pos, dtype=np.float32)
-        perm = conative.kdtree_build(pos_h, self.L)
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(self.n, dtype=perm.dtype)
-        return perm, inv
-
     def build_host(self, pos):
         """The ENTIRE host side of a rebuild — kd sort, node geometry, MAC
         traversal, pair lists — as one background-threadable unit (native
