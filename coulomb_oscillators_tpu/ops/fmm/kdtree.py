@@ -378,13 +378,19 @@ class KdFmmEngine:
                                  config.tree_L, leaf_target)
         self.tables = build_tables(self.dim, self.p)
         # Near-field default: the K-unrolled VMEM-resident Pallas kernel on
-        # TPU (48.7 G lane-int/s vs the jnp scan's 24.5 G at N=1M, verified
+        # TPU (54.3 G lane-int/s vs the jnp scan's 23.9 G at N=1M, verified
         # to 2e-7 — scripts/p2p_bench.py); the scan elsewhere.  dim=2 stays
         # on the scan (the FAR sentinel's 1/r^2 weight does not underflow
-        # exactly in 2D).
+        # exactly in 2D), and so does any N where the resident SoA
+        # ([G+1, 8, C], C lane-padded to 128) would blow the VMEM budget
+        # (~537 MB at N=10M vs 128 MB VMEM).
         if use_pallas is None:
+            G_est = 1 << self.L
+            C_est = -(-(-(-n // G_est)) // 128) * 128
+            soa_bytes = (G_est + 1) * 8 * C_est * 4
             use_pallas = (jax.default_backend() == "tpu"
-                          and config.dim == 3)
+                          and config.dim == 3
+                          and soa_bytes <= 100 * 1024 * 1024)
         self.use_pallas = bool(use_pallas)
         self.st = _static_structure(n, self.L,
                                     pad_to=128 if self.use_pallas else 1)
