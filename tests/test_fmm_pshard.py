@@ -121,6 +121,28 @@ def test_simulator_mesh_mode_matches_single_device(setup):
     assert shard_shapes == {(G // 8, C, 3)}
 
 
+def test_device_async_builder_trajectory(setup):
+    """tree_async_build='device' (on-chip Morton rebuild) stays on the
+    sync-rebuild trajectory to force-error tolerance across a rebuild."""
+    from coulomb_oscillators_tpu.simulate import Simulator
+    config, n, pos, vel, eng, fs = setup
+    pos_j, vel_j = jnp.asarray(pos), jnp.asarray(vel)
+    steps = 6
+    outs = []
+    for kw in (dict(tree_async=False),
+               dict(tree_async=True, tree_async_build="device")):
+        cfg = config.replace(tree_steps=4, **kw)
+        sim = Simulator(cfg, n, engine="fmm3_kd")
+        st = sim.init_acc(ParticleState(pos_j, vel_j,
+                                        jnp.zeros_like(pos_j)))
+        outs.append(sim.run(st, steps))
+    scale = float(jnp.max(jnp.abs(outs[0].pos)))
+    err = float(jnp.max(jnp.abs(outs[1].pos - outs[0].pos))) / scale
+    # one-window-stale Morton tree vs exact sync rebuild: trajectories agree
+    # to force-error level over a few steps
+    assert err < 1e-3, err
+
+
 def test_cli_chips_flag(tmp_path):
     """CLI -chips N drives the particle-sharded simulator end-to-end."""
     from coulomb_oscillators_tpu import cli
