@@ -720,9 +720,19 @@ class KdFmmEngine:
         dtype = ppad.dtype
         kappa = dtype.type(self.config.kappa(self.n))
         mask3 = self.mask3
-        mpole_heap = self._stage_multipoles(ppad, mask3, fs)
+        t = self.tables
+        G = 1 << self.L
+        leaf0 = _heap_off(self.L)
+        # one set of normalized-offset monomial columns feeds BOTH P2M and
+        # L2P (identical leaf frames) — ~half the monomial VPU work
+        e, leafl = self._leaf_frame(ppad, mask3, fs)
+        Vcols = mop.eval_monomial_cols(e, t.PL, t.dim)     # list of [G, C]
+        mpole_leaf = mop.p2m_from_cols(t, Vcols, mask3)
+        mpole_heap = self.m2m_up(mpole_leaf, fs)
         local_heap = self._stage_m2l(mpole_heap, fs)
-        far_pad = self._stage_local(ppad, mask3, local_heap, fs)
+        leaf_local = self.l2l_down(local_heap, fs)
+        Lf = mop.expand_L(t, leaf_local)
+        far_pad = mop.l2p_field_cols(t, Lf, Vcols, leafl) * mask3[..., None]
         near_pad = self._stage_p2p(ppad, fs)
         return (far_pad + near_pad) * kappa
 
@@ -825,12 +835,10 @@ class KdFmmEngine:
         """P2M on a run of padded leaf blocks (any contiguous slice):
         [Gb, C, dim] + per-block center/scale -> leaf multipoles [Gb, S_M]."""
         t = self.tables
-        Gb, C = ppad.shape[0], ppad.shape[1]
         e = (ppad - leafc[:, None, :]) / leafl[:, None, None]
         e = jnp.where(mask3[..., None], e, 0.0)
-        contrib = mop.p2m_contrib(t, e.reshape(Gb * C, -1))
-        contrib = contrib * mask3.reshape(Gb * C, 1)
-        return contrib.reshape(Gb, C, -1).sum(axis=1)
+        Vcols = mop.eval_monomial_cols(e, t.PM, t.dim)
+        return mop.p2m_from_cols(t, Vcols, mask3)
 
     def m2m_up(self, mpole_leaf: jax.Array, fs: FmmState) -> jax.Array:
         """M2M sweep: leaf multipoles [G, S_M] -> full heap [Mheap, S_M]."""
@@ -952,7 +960,9 @@ class KdFmmEngine:
         t = self.tables
         w = (ppad - leafc[:, None, :]) / leafl[:, None, None]
         w = jnp.where(mask3[..., None], w, 0.0)
-        F = mop.l2p_field_blocked(t, leaf_local, w, leafl)
+        Vcols = mop.eval_monomial_cols(w, t.PL, t.dim)
+        Lf = mop.expand_L(t, leaf_local)
+        F = mop.l2p_field_cols(t, Lf, Vcols, leafl)
         return F * mask3[..., None]
 
     def _stage_local(self, ppad: jax.Array, mask3: jax.Array,

@@ -36,6 +36,137 @@ def _j(x, dtype=jnp.float32):
     return jnp.asarray(x, dtype=dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _m2l_terms(dim: int, p: int, truncate: bool = True):
+    """Static sparse term list of the M2L contraction, grouped by output
+    slot: terms[i] = tuple of (j, h, coef) with
+    L[b, i] = sum coef * Mv[b, j] * H[b, h].
+
+    The dense per-pair operator form (K = H @ m2l_W reshaped [B, S_Lt, S_M])
+    materializes a [B, S_Lt*S_M] intermediate (~2000 floats/pair at p=5);
+    this static-column form runs the same contraction as ~380 fused VPU
+    multiply-adds per pair with no intermediate — the TPU analogue of the
+    reference's unrolled static_m2l_acc3 (fmm_cart_base3.cuh:1265-1346).
+    """
+    t = build_tables(dim, p, truncate)
+    terms = []
+    for i in range(t.S_Lt):
+        row = []
+        for j in range(t.S_M):
+            c = t.m2l_coef[i, j]
+            if c != 0.0:
+                row.append((j, int(t.m2l_idx[i, j]), float(c)))
+        terms.append(tuple(row))
+    return tuple(terms)
+
+
+def _pow_cols(x: jax.Array, max_order: int):
+    """[B] -> list of [B] columns [1, x, x^2, .., x^max_order]."""
+    cols = [jnp.ones_like(x)]
+    for _ in range(max_order):
+        cols.append(cols[-1] * x)
+    return cols
+
+
+def m2l_sparse(t: FmmTables, M: jax.Array, H: jax.Array, v: jax.Array,
+               u: jax.Array, sign: int = 1) -> jax.Array:
+    """Directed sparse M2L core: source multipoles M [B, S_M], harmonics
+    H [B, S_H] at Rhat (R = x_tgt - x_src), v = lam_src/r, u = lam_tgt/r.
+    Returns L [B, S_Lt] BEFORE the 1/r^eta factor and the 2D monopole
+    log-correction (callers apply those).  sign=-1 evaluates the opposite
+    direction using the parity H_k(-Rhat) = (-1)^k H_k(Rhat).
+    """
+    terms = _m2l_terms(t.dim, t.p, True)
+    vp = _pow_cols(v, t.PM)
+    up = _pow_cols(u, t.PL)
+    m_ord = t.m_order
+    n_ord = t.nt_order
+    Mv = [M[:, j] * vp[int(m_ord[j])] for j in range(t.S_M)]
+    cols = []
+    for i, row in enumerate(terms):
+        acc = None
+        for (j, h, c) in row:
+            if sign == -1 and (int(n_ord[i]) + int(m_ord[j])) % 2 == 1:
+                c = -c
+            term = (c * Mv[j]) * H[:, h]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros(M.shape[0], M.dtype)
+        cols.append(acc * up[int(n_ord[i])])
+    return jnp.stack(cols, axis=1)
+
+
+def eval_monomial_cols(u: jax.Array, max_order: int, dim: int):
+    """Monomial columns of u [..., dim] over the sym layout: list of [...]
+    arrays (static per-slot products — no [B, S] materialization unless the
+    caller stacks them)."""
+    import numpy as _np
+    from coulomb_oscillators_tpu.ops.multipole import packing as pk
+    exps = pk.monomial_exponents(max_order, dim)
+    pows = [_pow_cols(u[..., a], max_order) for a in range(dim)]
+    cols = []
+    for s in range(exps.shape[0]):
+        c = pows[0][int(exps[s, 0])]
+        for a in range(1, dim):
+            e = int(exps[s, a])
+            if e:
+                c = c * pows[a][e]
+        cols.append(c)
+    return cols
+
+
+@functools.lru_cache(maxsize=None)
+def _l2p_terms(dim: int, p: int):
+    """Static term list of the L2P field: per axis a, tuples (j, k, coef)
+    with F_a = -(1/lam) sum coef * Lf[:, j] * V[:, k], where
+    coef = mult(j) * j_a and k = slot(j - e_a)."""
+    from coulomb_oscillators_tpu.ops.multipole import packing as pk
+    symL, _, symL_idx = pk.sym_layout(p, dim)
+    out = []
+    for a in range(dim):
+        row = []
+        for j, dl in enumerate(symL):
+            if dl[a] == 0:
+                continue
+            tgt = list(dl)
+            tgt[a] -= 1
+            row.append((j, symL_idx[tuple(tgt)],
+                        float(pk.multinomial(dl) * dl[a])))
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def l2p_field_cols(t: FmmTables, Lf: jax.Array, Vcols, lam: jax.Array) -> jax.Array:
+    """Leaf-blocked L2P from precomputed monomial columns.
+
+    Lf [G, S_Lf] expanded locals; Vcols = eval_monomial_cols of w [G, C, dim]
+    (list of [G, C]); lam [G].  Returns F [G, C, dim].  Replaces the batched
+    [C, S] x [S, dim] einsum (MXU-starved at dim=3) with ~dim*S_Lf fused VPU
+    column multiply-adds; monomial columns are shared with P2M.
+    """
+    terms = _l2p_terms(t.dim, t.PL)
+    outs = []
+    for a in range(t.dim):
+        acc = None
+        for (j, k, c) in terms[a]:
+            term = (c * Lf[:, j])[:, None] * Vcols[k]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    F = -jnp.stack(outs, axis=-1)
+    return F / lam[:, None, None]
+
+
+def p2m_from_cols(t: FmmTables, Vcols, mask3: jax.Array) -> jax.Array:
+    """Leaf multipoles from precomputed monomial columns of the normalized
+    offsets (first S_M slots of the order-0..PL layout): [G, S_M]."""
+    coef = t.p2m_coef
+    cols = []
+    for j in range(t.S_M):
+        cj = jnp.where(mask3, Vcols[j], 0.0)
+        cols.append(coef[j] * jnp.sum(cj, axis=1))
+    return jnp.stack(cols, axis=1)
+
+
 def eval_monomials_M(t: FmmTables, e: jax.Array) -> jax.Array:
     """Monomials over the multipole layout (orders 0..PM): [B, S_M]."""
     return hm.eval_monomials(e, t.PM, t.dim)
@@ -81,13 +212,7 @@ def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
     r = jnp.linalg.norm(R, axis=-1)
     Rh = R / r[:, None]
     H = hm.eval_H(Rh, t.maxH, t.dim)                      # [B, S_H]
-    W = _j(t.m2l_W, M.dtype).reshape(t.S_H, -1)
-    K = jnp.matmul(H, W, precision=PREC).reshape(-1, t.S_Lt, t.S_M)
-    v = lam_src / r
-    u = lam_tgt / r
-    Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
-    L = jnp.sum(K * Mv[:, None, :], axis=2)
-    L = L * (u[:, None] ** _j(t.nt_order, M.dtype)[None, :])
+    L = m2l_sparse(t, M, H, lam_src / r, lam_tgt / r)
     if t.dim == 3:
         L = L / r[:, None]
     else:
@@ -110,19 +235,10 @@ def m2l_both(t: FmmTables, M1: jax.Array, M2: jax.Array, R: jax.Array,
     r = jnp.linalg.norm(R, axis=-1)
     Rh = R / r[:, None]
     H = hm.eval_H(Rh, t.maxH, t.dim)
-    W = _j(t.m2l_W, M1.dtype).reshape(t.S_H, -1)
-    K = jnp.matmul(H, W, precision=PREC).reshape(-1, t.S_Lt, t.S_M)
-    # parity sign (-1)^(n_i + m_j) flips K to the -R direction
-    sign = _j((-1.0) ** (t.nt_order[:, None] + t.m_order[None, :]), M1.dtype)
     v1 = lam1 / r
     v2 = lam2 / r
-    m_ord = _j(t.m_order, M1.dtype)[None, :]
-    n_ord = _j(t.nt_order, M1.dtype)[None, :]
-    M2v = M2 * (v2[:, None] ** m_ord)
-    M1v = M1 * (v1[:, None] ** m_ord)
-    L1 = jnp.sum(K * M2v[:, None, :], axis=2) * (v1[:, None] ** n_ord)
-    L2 = jnp.sum((K * sign[None]) * M1v[:, None, :], axis=2) * \
-        (v2[:, None] ** n_ord)
+    L1 = m2l_sparse(t, M2, H, v2, v1, sign=1)
+    L2 = m2l_sparse(t, M1, H, v1, v2, sign=-1)
     if t.dim == 3:
         L1 = L1 / r[:, None]
         L2 = L2 / r[:, None]
