@@ -3,14 +3,19 @@
 Headline (BASELINE.json): N=1M 3D kd-tree FMM particle-steps/s on one chip,
 with the tree rebuilt every `tree_steps` steps (reference temporal
 amortization) and leapfrog stepping — **at matched accuracy**: the headline
-config is auto-tuned so the mean relative force error vs the direct oracle
-is <= 1e-3, the reference's default auto-tune bound (main3.cu:236-237).
-Reporting throughput at unmatched accuracy is not comparable (VERDICT round
-1); the round-1 loose config (p=3, r=1.7, err ~1e-2) is kept as a secondary
-line in `extra`.
+config is auto-tuned over the reference's FULL grid (p in 1..6 x
+r in {1.11, 1.25, 1.43, 1.67, 2, 2.5, 3}, main3.cu:739-741) keeping the
+fastest config whose mean relative force error vs the Kahan-targets direct
+oracle is <= 1e-3 (the reference default bound, main3.cu:236-237).
+
+Reproducibility (round-2 verdict): timing is median-of-5 windows with the
+per-window times and spread reported in `extra`; the kd sort/geometry is
+shared across the autotune grid (the tree does not depend on p or r), so
+the full 42-config grid costs one build + 42 traversals/error probes.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
@@ -18,11 +23,8 @@ import jax
 import jax.numpy as jnp
 
 ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
-# candidates in rough cost order; the first one meeting ERR_BOUND becomes
-# the headline (the reference's -accuracy grid-search semantics,
-# main3.cu:737-788, restricted to configs plausible at N=1M)
-CANDIDATES = [(4, 1.7), (5, 1.7), (5, 2.0), (6, 2.0), (6, 2.5)]
-LOOSE = (3, 1.7)
+SEARCH_P = [1, 2, 3, 4, 5, 6]
+SEARCH_R = [1.11, 1.25, 1.43, 1.67, 2.0, 2.5, 3.0]
 
 
 def _init_state(n):
@@ -38,115 +40,116 @@ def _init_state(n):
                          jnp.zeros((n, 3), jnp.float32))
 
 
-def _force_err(eng, fs, pos, acc_ref_sub, sub):
-    from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
-    acc = eng.force(pos, fs)
-    return float(mean_rel_err(acc[sub], acc_ref_sub))
-
-
-def _time_steps(sim, state, steps=16):
+def _time_steps(sim, state, steps=16, repeats=5):
+    """Median-of-`repeats` window timing (transport stalls on the remote
+    TPU tunnel would otherwise pollute single samples)."""
     warm = sim.run(state, 2)
     warm = sim.run(warm, 2)   # second warm-up: compile for scan-layout inputs
     jax.block_until_ready(warm.pos)
-    # min over repeats: the remote-TPU transport adds sporadic multi-second
-    # stalls that would otherwise dominate a single 16-step sample
-    best = float("inf")
-    for _ in range(2):
+    times = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         warm = sim.run(warm, steps)
         np.asarray(warm.pos[0])
-        best = min(best, (time.perf_counter() - t0) / steps)
-    return best
+        times.append((time.perf_counter() - t0) / steps)
+    return times
+
+
+def autotune(state, n, base):
+    """Reference -accuracy grid search sharing one kd sort/geometry."""
+    from coulomb_oscillators_tpu.ops import direct as D
+    from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
+    from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
+    from coulomb_oscillators_tpu.utils.timing import test_time_chained
+    from coulomb_oscillators_tpu import native as conative
+
+    sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
+    # Kahan-targets oracle (direct3 semantics): the plain f32 direct kernel
+    # has ~2e-3 of its own accumulation noise at N=1M
+    acc_ref = D.direct_kahan_targets(state.pos[sub], state.pos,
+                                     base.eps2, base.kappa(n))
+    jax.block_until_ready(acc_ref)
+
+    # shared tree: the kd permutation/geometry depend only on (n, L)
+    geo_cache = {}
+
+    def build_shared(eng, pos):
+        key = eng.L
+        if key not in geo_cache:
+            pos_h = np.asarray(pos, dtype=np.float32)
+            perm = conative.kdtree_build(pos_h, eng.L)
+            pos_s = pos_h[perm]
+            geom = conative.node_geometry(pos_s, eng.L)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(n, dtype=perm.dtype)
+            geo_cache[key] = (perm, inv, geom)
+        perm, inv, (c_h, lb_h, rb_h, lam_h) = geo_cache[key]
+        m2l, p2p = eng._traverse(c_h, lb_h, rb_h)
+        return eng._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p, {})
+
+    best = None
+    tried = []
+    for r in SEARCH_R:
+        for p in SEARCH_P:
+            cfg = base.replace(fmm_order=p, tree_radius=r)
+            eng = KdFmmEngine(cfg, n)
+            fs = build_shared(eng, state.pos)
+            err = float(mean_rel_err(eng.force(state.pos, fs)[sub], acc_ref))
+            row = {"p": p, "r": r, "err": err}
+            if err < ERR_BOUND:
+                def fpad(x, eng=eng, fs=fs):
+                    return x + eng._force_jit(x, fs) * 1e-30
+                t = test_time_chained(fpad, state.pos, min_loop=1.5)
+                row["force_s"] = round(t, 4)
+                if best is None or t < best["force_s"]:
+                    best = {"p": p, "r": r, "err": err, "force_s": t}
+            tried.append(row)
+            print(f"# p={p} r={r} err={err:.2e}"
+                  + (f" t={row.get('force_s')}" if "force_s" in row else ""),
+                  flush=True)
+        # grid is monotone enough that once several r pass with headroom,
+        # larger r only gets slower — but mirror the reference and sweep all
+    return best, tried
 
 
 def main():
     from coulomb_oscillators_tpu import SimConfig
     from coulomb_oscillators_tpu.simulate import Simulator
-    from coulomb_oscillators_tpu.ops import direct as D
 
     n = 1_000_000
     state = _init_state(n)
     base = SimConfig()
-    sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
-    # Kahan-targets oracle (direct3 semantics): the plain f32 direct kernel
-    # has ~2e-3 of its own accumulation noise at N=1M and cannot certify a
-    # 1e-3 bound
-    acc_ref = D.direct_kahan_targets(state.pos[sub], state.pos,
-                                     base.eps2, base.kappa(n))
-    jax.block_until_ready(acc_ref)
 
-    # --- auto-tune: cheapest candidate under the bound ---
-    chosen = None
-    tried = []
-    for p, r in CANDIDATES:
-        config = SimConfig(fmm_order=p, tree_radius=r)
-        sim = Simulator(config, n, engine="fmm3_kd")
-        st = sim.init_acc(state)
-        err = _force_err(sim._fmm, sim._fstate, state.pos, acc_ref, sub)
-        tried.append({"p": p, "r": r, "err": err})
-        if err <= ERR_BOUND:
-            chosen = (p, r, err, sim, st)
-            break
-    if chosen is None:                      # fall back to most accurate
-        p, r = CANDIDATES[-1]
-        config = SimConfig(fmm_order=p, tree_radius=r)
-        sim = Simulator(config, n, engine="fmm3_kd")
-        st = sim.init_acc(state)
-        err = tried[-1]["err"]
-        chosen = (p, r, err, sim, st)
+    best, tried = autotune(state, n, base)
+    if best is None:
+        print(json.dumps({"metric": "error", "value": -1,
+                          "unit": "autotune_failed", "vs_baseline": None}))
+        return
 
-    p, r, err, sim, st = chosen
-    dt = _time_steps(sim, st)
-    psteps = n / dt
-    eng = sim._fmm
-    pair_count = eng.last_counts
-    C = eng.st.C
-    ginter = (pair_count["p2p"] * C * C) / dt / 1e9
+    config = base.replace(fmm_order=best["p"], tree_radius=best["r"])
+    sim = Simulator(config, n, engine="fmm3_kd")
+    state = sim.init_acc(state)
+    times = _time_steps(sim, state, steps=16, repeats=5)
+    med = statistics.median(times)
+    value = n / med
 
-    # --- tuned: same accuracy config at tree_steps=16 (the amortization
-    # knob; the reference default is 8, constants.cuh:45).  The error
-    # reported is measured at the END of a full reuse window — the
-    # maximally stale tree — and still clears the bound. ---
-    tsim = Simulator(SimConfig(fmm_order=p, tree_radius=r, tree_steps=16),
-                     n, engine="fmm3_kd")
-    tst = tsim.init_acc(state)
-    tst = tsim.run(tst, 16)
-    terr = _force_err(tsim._fmm, tsim._fstate, tst.pos,
-                      D.direct_kahan_targets(tst.pos[sub], tst.pos,
-                                             base.eps2, base.kappa(n)), sub)
-    tdt = _time_steps(tsim, tst, steps=32)
-
-    # --- secondary: round-1 loose config for continuity ---
-    lp, lr = LOOSE
-    lsim = Simulator(SimConfig(fmm_order=lp, tree_radius=lr), n,
-                     engine="fmm3_kd")
-    lst = lsim.init_acc(state)
-    lerr = _force_err(lsim._fmm, lsim._fstate, state.pos, acc_ref, sub)
-    ldt = _time_steps(lsim, lst)
-
-    print(json.dumps({
-        "metric": "fmm3_kd_N1M_particle_steps_per_s_err1e-3",
-        "value": round(psteps, 1),
-        "unit": "particle-steps/s",
-        "vs_baseline": 1.0,
+    out = {
+        "metric": "particle_steps_per_s",
+        "value": round(value, 0),
+        "unit": "psteps/s",
+        "vs_baseline": None,   # reference publishes no numbers (BASELINE.md)
         "extra": {
-            "sec_per_step": dt,
-            "force_rel_err_vs_direct": err,
+            "n": n, "p": best["p"], "r": best["r"],
+            "force_rel_err": round(best["err"], 6),
             "err_bound": ERR_BOUND,
-            "p2p_G_interactions_per_s": round(ginter, 2),
-            "n": n, "p": p, "r": r,
-            "L": eng.L, "leaf_cap": C,
-            "autotune_trace": tried,
-            "tuned_tree_steps16": {"p": p, "r": r, "tree_steps": 16,
-                                   "stale_window_err": terr,
-                                   "sec_per_step": tdt,
-                                   "psteps_per_s": round(n / tdt, 1)},
-            "loose_config": {"p": lp, "r": lr, "err": lerr,
-                             "sec_per_step": ldt,
-                             "psteps_per_s": round(n / ldt, 1)},
-            "backend": jax.default_backend(),
+            "sec_per_step_median": round(med, 4),
+            "sec_per_step_all": [round(t, 4) for t in times],
+            "tree_steps": config.tree_steps,
+            "integrator": config.integrator,
+            "autotune_grid": tried,
         },
-    }))
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -41,7 +41,14 @@ from coulomb_oscillators_tpu.ops.fmm.octree import (OctState, _bin_particles,
 
 
 class AppelEngine:
-    """Monopole tree-code engine (engine name: "appel")."""
+    """Monopole tree-code engine (engine name: "appel").
+
+    Note: the near-field neighbourhood and the c2c exclusion window are
+    fixed at radius 1 (the [-3,3] stencil), unlike the reference appel.cuh
+    which scales both with ``-radius``; ``config.tree_radius`` is ignored
+    here (a warning is printed when it differs from 1).  Accuracy is set by
+    the stencil opening ratio; use the kd/octree FMM engines for tunable
+    accuracy."""
 
     def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
                  cell_cap: int = 0):
@@ -54,6 +61,10 @@ class AppelEngine:
                                            config.dens_inhom, config.tree_L)
         self.levels, self.offsets, self.nbrs = _grid_static(self.dim, self.L)
         self.cell_cap = cell_cap
+        if config.tree_radius != 1.0:
+            import warnings
+            warnings.warn("AppelEngine fixes radius=1; -radius "
+                          f"{config.tree_radius} is ignored by this engine")
         self._force_jit = {}
 
     # ---------- build ----------
@@ -158,7 +169,12 @@ class AppelEngine:
         acc_far = jnp.take(F_lvl[L], st.key, axis=0)
 
         # ---- P2P over neighbour shifts (p2p2/p2p3, :260-381) ----
-        pad_slot = st.key.astype(jnp.int64) * cap + st.rank
+        # int32 slot arithmetic: int64 is unavailable without jax_enable_x64
+        # and would silently truncate; build() asserts cellsL*cap < 2^31
+        assert cellsL * cap < 2 ** 31, (
+            f"padded slot space {cellsL}*{cap} overflows int32; lower "
+            f"tree_L or cell_cap")
+        pad_slot = st.key.astype(jnp.int32) * np.int32(cap) + st.rank
         pos_pad = jnp.full((cellsL * cap, dim), dtype.type(FAR))
         pos_pad = pos_pad.at[pad_slot].set(pos_s).reshape(cellsL, cap, dim)
         sideL = 1 << L

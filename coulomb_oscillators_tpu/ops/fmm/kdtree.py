@@ -20,8 +20,18 @@ design here is a from-scratch TPU formulation:
     (temporal amortization, reference :1619-1642; we also freeze centers
     and scales, which is valid because expansion centers are arbitrary and
     we keep dipole terms).
-  * P2P runs on fixed-capacity leaf blocks gathered per pair (Newton-3 not
-    exploited yet; each unordered pair is emitted in both directions).
+  * Near field at DUAL GRANULARITY (round 3): the tree descends to
+    sub-leaves of ~32 particles (`sub_depth` levels below the 128-lane
+    block level), the MAC runs at sub-leaf granularity, and the P2P pass
+    computes directed (target sub-leaf) x (source 128-block) tiles.  The
+    physical near-field footprint scales with leaf diameter, so sub-leaf
+    MAC resolution cuts exact-kernel work ~7x vs 128-particle leaves
+    (scripts/leaf_size_probe.py) — strictly more than the reference's
+    Newton-3 accumulation (2x; fmm_cart3_kdtree.cuh:797-1046) while
+    keeping single-writer 128-lane tiles.  M2L entries become DIRECTED;
+    entries whose source lies below block level and whose source block is
+    already covered by the target's exact near tile are dropped
+    (the tile computes those interactions exactly).
 
 MAC (kd_admissible, reference :395-414): pairs (A, B) are far when
 (par*Mf)^2 * max(diag2_A, diag2_B) < dist(center_A, center_B)^2 with
@@ -67,19 +77,27 @@ def auto_level(n: int, p: int, dens_inhom: float = 1.0,
 
 
 class FmmState(NamedTuple):
-    """Device state frozen between tree rebuilds."""
+    """Device state frozen between tree rebuilds.
+
+    Near-field lists are directed (target sub-leaf, source block): targets
+    index the 2^L sub-leaves, sources index the 2^(L-sub_depth) 128-lane
+    blocks.  M2L entries are directed (t <- s) heap-index pairs."""
     perm: jax.Array        # [n] sorted slot -> original particle index
     inv_perm: jax.Array    # [n] original particle index -> sorted slot
     center: jax.Array      # [Mheap, dim] expansion centers (frozen COC)
     lam: jax.Array         # [Mheap] node length scales (half-diagonal)
-    p2p_tgt: jax.Array     # [Kp] leaf index of target
-    p2p_src: jax.Array     # [Kp] leaf index of source (=tgt for self)
+    p2p_tgt: jax.Array     # [Kp] sub-leaf index of target
+    p2p_src: jax.Array     # [Kp] BLOCK index of source
     p2p_valid: jax.Array   # [Kp] bool
-    m2l_tgt: jax.Array     # [Km] heap index of target
-    m2l_src: jax.Array     # [Km] heap index of source
+    m2l_tgt: jax.Array     # [Km] heap index of target (directed)
+    m2l_src: jax.Array     # [Km] heap index of source (directed)
     m2l_valid: jax.Array   # [Km] bool
-    p2p_row_ptr: jax.Array  # [G+1] CSR over the valid prefix of p2p_src
-    p2p_col2d: jax.Array    # [G, Dmax] partner leaf ids (Pallas path)
+    m2l_h2: jax.Array      # [Km, S_H] folded per-entry harmonics (frozen
+                           # geometry, precomputed at rebuild — m2l_fold_geo)
+    m2l_w: jax.Array       # [Km] lam_src/lam_tgt scale ratio
+    m2l_logc: jax.Array    # [Km] 2D monopole log correction (zeros in 3D)
+    p2p_row_ptr: jax.Array  # [Gsub+1] CSR over the valid prefix of p2p_src
+    p2p_col2d: jax.Array    # [Gsub, Dmax] partner block ids (Pallas path)
 
 
 @dataclasses.dataclass
@@ -127,16 +145,17 @@ def _heap_off(l: int) -> int:
     return (1 << l) - 1
 
 
-@functools.partial(jax.jit, static_argnames=("G", "dmax"))
-def _build_col2d(tgt, src, valid, row_ptr, G: int, dmax: int):
-    """Dense per-leaf partner table [G, dmax] from the target-sorted pair
-    list (padding entries = sentinel G), built by one device scatter."""
+@functools.partial(jax.jit, static_argnames=("G", "Gblk", "dmax"))
+def _build_col2d(tgt, src, valid, row_ptr, G: int, Gblk: int, dmax: int):
+    """Dense per-target partner table [G, dmax] from the target-sorted pair
+    list (padding entries = sentinel block id Gblk), built by one device
+    scatter."""
     idx = jnp.arange(tgt.shape[0], dtype=jnp.int32)
     tgt_cl = jnp.minimum(tgt, G - 1)
     ranks = jnp.clip(idx - row_ptr[tgt_cl], 0, dmax - 1)
     rows = jnp.where(valid, tgt_cl, G)            # invalid -> dropped row
-    vals = jnp.where(valid, src, G)               # sentinel block id
-    col = jnp.full((G + 1, dmax), G, jnp.int32)
+    vals = jnp.where(valid, src, Gblk)            # sentinel block id
+    col = jnp.full((G + 1, dmax), Gblk, jnp.int32)
     col = col.at[rows, ranks].set(vals)
     return col[:G]
 
@@ -240,13 +259,14 @@ def _build_device(pos: jax.Array, n: int, L: int, dim: int):
 # --------------------------------------------------------------------------- #
 
 
-def _traverse_host(center: np.ndarray, lb: np.ndarray, rb: np.ndarray,
-                   mult: np.ndarray, L: int, n: int, p: int,
-                   radius: float, coll: bool):
+def _traverse_raw(center: np.ndarray, lb: np.ndarray, rb: np.ndarray,
+                  mult: np.ndarray, L: int, n: int, p: int,
+                  radius: float):
     """Vectorized dual-tree traversal (reference :569-611 semantics).
 
-    Returns (m2l_pairs [K,2] both directions, p2p_pairs [Q,2] both
-    directions incl. self pairs).
+    Returns (m2l [K,2] unordered heap pairs, p2p [Q,2] unordered
+    LEAF-RELATIVE pairs incl. self pairs) — the same format as the native
+    co_traverse.
     """
     leaf0 = _heap_off(L)
     sz = np.sum((rb - lb) ** 2, axis=1)                      # squared diagonal
@@ -313,21 +333,7 @@ def _traverse_host(center: np.ndarray, lb: np.ndarray, rb: np.ndarray,
 
     m2l = np.concatenate(m2l, axis=0) if m2l else np.zeros((0, 2), np.int64)
     p2p = np.concatenate(p2p, axis=0) if p2p else np.zeros((0, 2), np.int64)
-    # m2l stays unordered (one entry per pair; both directions in-stage)
-    m2l_full = m2l
-    nonself = p2p[p2p[:, 0] != p2p[:, 1]]
-    selfp = p2p[p2p[:, 0] == p2p[:, 1]]
-    if not coll:
-        p2p_full = np.zeros((0, 2), np.int64)
-    else:
-        p2p_full = np.concatenate([nonself, nonself[:, ::-1], selfp], axis=0)
-        p2p_full = p2p_full - leaf0          # leaf-relative indices
-    # sort by target for efficient segment accumulation
-    if m2l_full.size:
-        m2l_full = m2l_full[np.argsort(m2l_full[:, 0], kind="stable")]
-    if p2p_full.size:
-        p2p_full = p2p_full[np.argsort(p2p_full[:, 0], kind="stable")]
-    return m2l_full, p2p_full
+    return m2l, p2p - leaf0
 
 
 def _pad_pairs(pairs: np.ndarray, cap: int, dummy_tgt: int):
@@ -341,13 +347,23 @@ def _pad_pairs(pairs: np.ndarray, cap: int, dummy_tgt: int):
     return tgt, src, valid
 
 
-def _round_cap(k: int) -> int:
-    """Padded list capacity: 25% headroom rounded to 8192.  Steady-state
+def _round_cap(k: int, quantum: int = 8192) -> int:
+    """Padded list capacity: headroom rounded to `quantum`.  Steady-state
     counts under the async re-sort pipeline run ~15% above a fresh sort
     (one-window-stale leaf partition), so this absorbs them without a
     recompile, while padding waste stays far below the old power-of-two
     policy's up-to-2x."""
-    return max(256, -(-int(k * 1.25) // 8192) * 8192)
+    return max(quantum, -(-int(k * 1.25) // quantum) * quantum)
+
+
+def _pick_chunk(K: int, target: int) -> int:
+    """Largest divisor-of-K chunk size near `target` (scan tiling)."""
+    if K <= target:
+        return max(K, 1)
+    nch = max(1, -(-K // target))
+    while K % nch:
+        nch += 1
+    return K // nch
 
 
 # --------------------------------------------------------------------------- #
@@ -365,9 +381,9 @@ class KdFmmEngine:
     """
 
     def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
-                 leaf_target: int = 128, m2l_chunk: int = 65536,
+                 leaf_target: int = 32, m2l_chunk: int = 65536,
                  p2p_chunk: int = 256, sort_mode: str = "auto",
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, sub_depth: int = 2):
         self.config = config
         self.n = n
         self.dim = config.dim
@@ -376,30 +392,113 @@ class KdFmmEngine:
         self.p = max(config.fmm_order, 1)
         self.L = L or auto_level(n, self.p, config.dens_inhom,
                                  config.tree_L, leaf_target)
+        # block level: 128-lane near-field tiles live `sub_depth` levels
+        # above the sub-leaves the MAC resolves
+        self.sub_depth = max(0, min(sub_depth, self.L))
         self.tables = build_tables(self.dim, self.p)
         # Near-field default: the K-unrolled VMEM-resident Pallas kernel on
-        # TPU (54.3 G lane-int/s vs the jnp scan's 23.9 G at N=1M, verified
-        # to 2e-7 — scripts/p2p_bench.py); the scan elsewhere.  dim=2 stays
-        # on the scan (the FAR sentinel's 1/r^2 weight does not underflow
-        # exactly in 2D), and so does any N where the resident SoA
-        # ([G+1, 8, C], C lane-padded to 128) would blow the VMEM budget
-        # (~537 MB at N=10M vs 128 MB VMEM).
+        # TPU; the chunked jnp scan elsewhere.  dim=2 stays on the scan
+        # (the FAR sentinel's 1/r^2 weight does not underflow exactly in
+        # 2D), and so does any N where the resident block SoA
+        # ([Gblk+1, 8, CB]) would blow the VMEM budget.
+        lane_quantum = max(128 >> self.sub_depth, 8)
         if use_pallas is None:
             G_est = 1 << self.L
-            C_est = -(-(-(-n // G_est)) // 128) * 128
-            soa_bytes = (G_est + 1) * 8 * C_est * 4
+            C_est = -(-(-(-n // G_est)) // lane_quantum) * lane_quantum
+            soa_bytes = (G_est + (1 << self.sub_depth)) * 8 * C_est * 4
             use_pallas = (jax.default_backend() == "tpu"
                           and config.dim == 3
                           and soa_bytes <= 100 * 1024 * 1024)
         self.use_pallas = bool(use_pallas)
-        self.st = _static_structure(n, self.L,
-                                    pad_to=128 if self.use_pallas else 1)
-        self.caps = {"p2p": 256, "m2l": 256}
+        self.st = _static_structure(
+            n, self.L, pad_to=lane_quantum if self.use_pallas else 1)
+        self.caps = {"p2p": 8192, "m2l": m2l_chunk}
+
+        @jax.jit
+        def m2l_geo(center, lam, m2l_t, m2l_s, m2l_v):
+            Mheap = _heap_off(self.L + 1)
+            a_cl = jnp.minimum(m2l_t, Mheap - 1)
+            R = jnp.take(center, a_cl, axis=0) - \
+                jnp.take(center, m2l_s, axis=0)
+            R = jnp.where(m2l_v[:, None], R, jnp.ones_like(R))
+            la = jnp.take(lam, a_cl, axis=0)
+            lb = jnp.take(lam, m2l_s, axis=0)
+            return mop.m2l_fold_geo(self.tables, R, la, lb)
+
+        self._m2l_geo_jit = m2l_geo
         self.m2l_chunk = m2l_chunk
         self.p2p_chunk = p2p_chunk
         self.sort_mode = sort_mode
         self._force_jit = jax.jit(self._force_impl)
         self._potential_jit = jax.jit(self._potential_impl)
+
+    @property
+    def G_sub(self) -> int:
+        return 1 << self.L
+
+    @property
+    def G_blk(self) -> int:
+        return 1 << (self.L - self.sub_depth)
+
+    @property
+    def C_blk(self) -> int:
+        return self.st.C << self.sub_depth
+
+    @property
+    def mask_shift(self) -> int:
+        """Bit position of the sub-leaf group mask inside packed source
+        block ids (top 2^sub_depth bits of the int32)."""
+        return 32 - (1 << self.sub_depth)
+
+    def _fine_lists(self, m2l_u: np.ndarray, p2p_dir: np.ndarray):
+        """Dual-granularity list construction from the sub-leaf-level
+        traversal output.
+
+        Input: m2l_u [K, 2] unordered admissible heap-index pairs (any
+        levels); p2p_dir [Q, 2] unordered near sub-leaf pairs
+        (leaf-relative, self included).  Output:
+          * near [Qb, 2] directed (target sub-leaf, PACKED source block)
+            pairs, target-sorted.  The packed value is
+            blk | (mask << mask_shift): `mask` has one bit per sub-leaf
+            group of the 128-lane source block, set iff that sub-leaf is a
+            near partner of the target.  The kernel zeroes masked-out lane
+            groups, so the tile computes EXACTLY the near sub-pairs —
+            admissible sub-pairs inside a near block stay with M2L, and no
+            M2L entry ever needs splitting or absorption.
+          * m2l [Kd, 2] DIRECTED (t <- s) entries (both directions of every
+            unordered pair), target-sorted.
+        """
+        S = self.sub_depth
+        G_blk = self.G_blk
+        ngroups = 1 << S
+        shift = self.mask_shift
+
+        # --- near (t, packed block) pairs: group sub-leaf partners by
+        # source block, OR their group bits ---
+        if p2p_dir.size and self.config.coll:
+            a = p2p_dir[:, 0].astype(np.int64)
+            b = p2p_dir[:, 1].astype(np.int64)
+            t = np.concatenate([a, b])
+            s = np.concatenate([b, a])
+            key = t * G_blk + (s >> S)
+            bit = np.int64(1) << (s & (ngroups - 1))
+            order = np.argsort(key, kind="stable")
+            key, bit = key[order], bit[order]
+            uniq, start = np.unique(key, return_index=True)
+            mask = np.bitwise_or.reduceat(bit, start)
+            packed = ((uniq % G_blk) | (mask << shift))
+            # int32 wrap-around semantics (mask may occupy the sign bit)
+            packed = packed.astype(np.uint32).view(np.int32).astype(np.int64)
+            near = np.stack([uniq // G_blk, packed], axis=1)
+        else:
+            near = np.zeros((0, 2), np.int64)
+
+        # --- directed M2L: both directions of every unordered pair ---
+        if m2l_u.size == 0:
+            return near, np.zeros((0, 2), np.int64)
+        m2l_d = np.concatenate([m2l_u, m2l_u[:, ::-1]], axis=0)
+        m2l_d = m2l_d[np.argsort(m2l_d[:, 0], kind="stable")]
+        return near, m2l_d
 
     # ---------------- build ----------------
     def build(self, pos: jax.Array) -> FmmState:
@@ -453,24 +552,28 @@ class KdFmmEngine:
         import time as _time
         t0 = _time.perf_counter()
         self.last_counts = {"m2l": int(m2l.shape[0]), "p2p": int(p2p.shape[0])}
-        for name, arr in (("m2l", m2l), ("p2p", p2p)):
+        # m2l caps quantized to the scan chunk so the streamed geometry
+        # reshapes exactly into scan tiles
+        for name, arr, q in (("m2l", m2l, self.m2l_chunk),
+                             ("p2p", p2p, 8192)):
             if arr.shape[0] > self.caps[name]:
-                self.caps[name] = _round_cap(arr.shape[0])
+                self.caps[name] = _round_cap(arr.shape[0], q)
         Mheap = _heap_off(self.L + 1)
-        G = 1 << self.L
+        G = self.G_sub
         m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
         p2p_t, p2p_s, p2p_v = _pad_pairs(p2p, self.caps["p2p"], G)
         if self.use_pallas:
-            # CSR + dense-degree layout only the Pallas kernel reads; its
-            # col2d is the single largest upload (G x dmax i32), so it is
-            # built/shipped only when that path is on.  Padding entries
-            # point at the FAR sentinel block (id G): the K-wide kernel
-            # tiles read past each leaf's degree up to the next KBLK
-            # multiple, and sentinel sources contribute exactly zero.
+            # CSR + dense-degree layout only the Pallas kernel reads.
+            # Padding entries point at the FAR sentinel block (id G_blk):
+            # the K-wide kernel tiles read past each target's degree up to
+            # the next KBLK multiple, and sentinel sources contribute
+            # exactly zero.
             row_ptr = np.searchsorted(p2p[:, 0], np.arange(G + 1),
                                       side="left").astype(np.int32)
             degrees = np.diff(row_ptr)
             dmax = int(degrees.max()) if degrees.size else 1
+            # 128-aligned: Mosaic requires HBM slice lane dims to be
+            # multiples of the (·,128) tiling
             dmax = max(128, -(-dmax // 128) * 128)
             if dmax > self.caps.get("dmax", 0):
                 self.caps["dmax"] = dmax
@@ -484,19 +587,30 @@ class KdFmmEngine:
         p2p_val_d = jnp.asarray(p2p_v)
         if self.use_pallas:
             # dense partner table built ON DEVICE from the uploaded pair
-            # list: a host-side np.full + scatter + 16-33 MB int32 upload
+            # list: a host-side np.full + scatter + large int32 upload
             # cost ~0.5-1 s per rebuild through the tunnel
             col2d = _build_col2d(p2p_tgt_d, p2p_src_d, p2p_val_d,
-                                 jnp.asarray(row_ptr), G, dmax)
+                                 jnp.asarray(row_ptr), G, self.G_blk, dmax)
         else:
             col2d = jnp.zeros((1, 1), jnp.int32)
+        m2l_t_d = jnp.asarray(m2l_t)
+        m2l_s_d = jnp.asarray(m2l_s)
+        m2l_v_d = jnp.asarray(m2l_v)
+        center_d = jnp.asarray(center)
+        lam_d = jnp.asarray(lam)
+        # fold the frozen per-entry M2L geometry out of the per-step loop
+        # (harmonics + scale powers are constants between rebuilds; only
+        # the multipole gather stays live) — device compute at adoption
+        h2, w, logc = self._m2l_geo_jit(center_d, lam_d, m2l_t_d, m2l_s_d,
+                                        m2l_v_d)
         out = FmmState(
             perm=jnp.asarray(perm), inv_perm=jnp.asarray(inv_perm),
-            center=jnp.asarray(center), lam=jnp.asarray(lam),
+            center=center_d, lam=lam_d,
             p2p_tgt=p2p_tgt_d, p2p_src=p2p_src_d,
             p2p_valid=p2p_val_d,
-            m2l_tgt=jnp.asarray(m2l_t), m2l_src=jnp.asarray(m2l_s),
-            m2l_valid=jnp.asarray(m2l_v),
+            m2l_tgt=m2l_t_d, m2l_src=m2l_s_d,
+            m2l_valid=m2l_v_d,
+            m2l_h2=h2, m2l_w=w, m2l_logc=logc,
             p2p_row_ptr=jnp.asarray(row_ptr),
             p2p_col2d=col2d,
         )
@@ -633,37 +747,109 @@ class KdFmmEngine:
         return fn
 
     def _traverse(self, c_h, lb_h, rb_h):
-        """Dual-tree traversal: native C++ when available, numpy fallback.
-        Returns pair lists expanded to both directions and target-sorted."""
+        """Dual-tree traversal + dual-granularity list construction.
+
+        Hybrid: the (single-core) native C++ dual traversal runs only down
+        to the BLOCK level — its cost there matches the round-2 engine —
+        and the 2 extra sub-leaf levels are refined by a vectorized,
+        level-synchronous numpy pass over the block-level near pairs
+        (bounded depth => fixed-shape array ops, no per-pair recursion).
+        Falls back to a full numpy traversal without the native lib.
+        Returns (m2l_directed, near) target-sorted, see :meth:`_fine_lists`.
+        """
         from coulomb_oscillators_tpu import native as conative
+        L, S = self.L, self.sub_depth
+        Lc = L - S
         # seed capacities from the previous traversal so growth never costs
         # a full re-traversal (the native path re-runs on overflow)
-        last = getattr(self, "last_counts", None) or {}
+        last = getattr(self, "last_raw_counts", None) or {}
         caps = {k: max(1 << 20, int(last.get(k, 0) * 1.3))
                 for k in ("m2l", "p2p")}
-        out = conative.traverse(c_h, lb_h, rb_h, self.st.mult, self.L,
+        out = conative.traverse(c_h, lb_h, rb_h, self.st.mult, Lc,
                                 self.n, self.dim, self.p,
                                 float(self.config.tree_radius),
                                 m2l_cap=caps["m2l"], p2p_cap=caps["p2p"])
         if out is None:
-            return _traverse_host(
-                c_h, lb_h, rb_h, self.st.mult, self.L, self.n, self.p,
-                float(self.config.tree_radius), self.config.coll)
-        m2l, p2p = out
-        leaf0 = _heap_off(self.L)
-        m2l_full = m2l  # unordered pairs; both directions applied in-stage
-        nonself = p2p[p2p[:, 0] != p2p[:, 1]]
-        selfp = p2p[p2p[:, 0] == p2p[:, 1]]
-        if not self.config.coll:
-            p2p_full = np.zeros((0, 2), np.int64)
+            m2l_u, p2p_u = _traverse_raw(
+                c_h, lb_h, rb_h, self.st.mult, L, self.n, self.p,
+                float(self.config.tree_radius))
         else:
-            p2p_full = np.concatenate([nonself, nonself[:, ::-1], selfp],
-                                      axis=0)
-        if m2l_full.size:
-            m2l_full = m2l_full[np.argsort(m2l_full[:, 0], kind="stable")]
-        if p2p_full.size:
-            p2p_full = p2p_full[np.argsort(p2p_full[:, 0], kind="stable")]
-        return m2l_full, p2p_full
+            m2l_c, p2p_c = out
+            m2l_u, p2p_u = self._refine_pairs(m2l_c, p2p_c, c_h, lb_h,
+                                              rb_h, Lc)
+        self.last_raw_counts = {"m2l": int(m2l_u.shape[0]),
+                                "p2p": int(p2p_u.shape[0])}
+        near, m2l_d = self._fine_lists(m2l_u, p2p_u)
+        return m2l_d, near
+
+    def _refine_pairs(self, m2l_c: np.ndarray, p2p_c: np.ndarray,
+                      c_h, lb_h, rb_h, Lc: int):
+        """Refine block-level near pairs to sub-leaf granularity.
+
+        Level-synchronous descent: each inadmissible pair expands to its
+        child pairs (3 for self pairs, 4 otherwise); newly admissible child
+        pairs become M2L entries at that level, the rest descend further.
+        All MAC tests run vectorized over the whole frontier."""
+        L = self.L
+        n, p = self.n, self.p
+        radius = float(self.config.tree_radius)
+        d = np.asarray(rb_h) - np.asarray(lb_h)
+        sz = np.sum(d * d, axis=1)
+        expo = 1.0 / (3 * p + 6)
+        pm2 = ((radius * (self.st.mult.astype(np.float32)
+                          / np.float32(n)) ** expo) ** 2).astype(np.float32)
+        center = np.asarray(c_h, dtype=np.float32)
+        leafL = _heap_off(L)
+
+        cur = p2p_c + _heap_off(Lc)            # heap indices
+        m2l_extra = []
+        near_done = []
+        # split-larger, one side per round (matches co_traverse, so entry
+        # granularity equals the full dual traversal's); self pairs split
+        # both sides at once into (l,l),(l,r),(r,r)
+        for _ in range(2 * (L - Lc) + 1):
+            if cur.size == 0:
+                break
+            i, j = cur[:, 0], cur[:, 1]
+            selfp = i == j
+            sp, ns = cur[selfp], cur[~selfp]
+            cand = []
+            if sp.size:
+                a = sp[:, 0]
+                l, r = 2 * a + 1, 2 * a + 2
+                cand += [np.stack([l, l], 1), np.stack([l, r], 1),
+                         np.stack([r, r], 1)]
+            if ns.size:
+                a, b = ns[:, 0], ns[:, 1]
+                can_a = a < leafL
+                can_b = b < leafL
+                split_a = can_a & ((sz[a] >= sz[b]) | ~can_b)
+                sa, sb = ns[split_a], ns[~split_a]
+                if sa.size:
+                    x, y = sa[:, 0], sa[:, 1]
+                    cand += [np.stack([2 * x + 1, y], 1),
+                             np.stack([2 * x + 2, y], 1)]
+                if sb.size:
+                    x, y = sb[:, 0], sb[:, 1]
+                    cand += [np.stack([x, 2 * y + 1], 1),
+                             np.stack([x, 2 * y + 2], 1)]
+            cand = np.concatenate(cand, axis=0)
+            i, j = cand[:, 0], cand[:, 1]
+            dd = center[i] - center[j]
+            dist2 = np.sum(dd * dd, axis=1)
+            adm = (np.maximum(pm2[i], pm2[j]) * np.maximum(sz[i], sz[j])
+                   < dist2) & (i != j)
+            m2l_extra.append(cand[adm])
+            rest = cand[~adm]
+            # pairs with both sides at sub-leaf level are final near pairs
+            final = (rest[:, 0] >= leafL) & (rest[:, 1] >= leafL)
+            near_done.append(rest[final])
+            cur = rest[~final]
+        assert cur.size == 0, "refinement frontier not exhausted"
+        m2l_u = np.concatenate([m2l_c] + m2l_extra, axis=0)
+        near = np.concatenate(near_done, axis=0) if near_done else \
+            np.zeros((0, 2), np.int64)
+        return m2l_u, near - leafL
 
     # ---------------- force ----------------
     def force(self, pos: jax.Array, fstate: FmmState) -> jax.Array:
@@ -722,19 +908,61 @@ class KdFmmEngine:
         mask3 = self.mask3
         t = self.tables
         G = 1 << self.L
+        C = self.st.C
+        Gb, CB = self.G_blk, self.C_blk
+        nsub = 1 << self.sub_depth
         leaf0 = _heap_off(self.L)
-        # one set of normalized-offset monomial columns feeds BOTH P2M and
-        # L2P (identical leaf frames) — ~half the monomial VPU work
-        e, leafl = self._leaf_frame(ppad, mask3, fs)
-        Vcols = mop.eval_monomial_cols(e, t.PL, t.dim)     # list of [G, C]
-        mpole_leaf = mop.p2m_from_cols(t, Vcols, mask3)
+
+        # --- leaf frames in 128-lane BLOCK layout ---------------------------
+        # All per-particle far-field work runs on [Gb, CB]-shaped arrays
+        # (CB = 128-lane minor dim); per-SUB-LEAF quantities broadcast into
+        # their 32-lane groups via free reshape/broadcast folding.  The
+        # sub-leaf-shaped [G, 32] formulation wastes 3/4 of every vreg.
+        pblk = ppad.reshape(Gb, CB, self.dim)
+        maskB = mask3.reshape(Gb, CB)
+        leafc = fs.center[leaf0:leaf0 + G].reshape(Gb, nsub, 1, self.dim)
+        leafl = fs.lam[leaf0:leaf0 + G]
+        lamB = leafl.reshape(Gb, nsub, 1)
+        e = (pblk.reshape(Gb, nsub, C, self.dim) - leafc) / lamB[..., None]
+        e = jnp.where(maskB.reshape(Gb, nsub, C)[..., None], e, 0.0)
+        e = e.reshape(Gb, CB, self.dim)
+        # one set of monomial columns feeds BOTH P2M and L2P
+        Vcols = mop.eval_monomial_cols(e, t.PL, t.dim)     # list of [Gb, CB]
+
+        # --- P2M (block layout; masked offsets are 0, so only the order-0
+        # column needs masking — its sum is the static sub-leaf count) ------
+        counts = jnp.asarray(
+            self.st.mult[leaf0:].reshape(Gb, nsub).astype(np.float32))
+        mp_cols = [counts]
+        for j in range(1, t.S_M):
+            s = Vcols[j].reshape(Gb, nsub, C).sum(axis=2)  # [Gb, nsub]
+            mp_cols.append(dtype.type(t.p2m_coef[j]) * s)
+        mpole_leaf = jnp.stack(mp_cols, axis=-1).reshape(G, t.S_M)
+
         mpole_heap = self.m2m_up(mpole_leaf, fs)
         local_heap = self._stage_m2l(mpole_heap, fs)
         leaf_local = self.l2l_down(local_heap, fs)
-        Lf = mop.expand_L(t, leaf_local)
-        far_pad = mop.l2p_field_cols(t, Lf, Vcols, leafl) * mask3[..., None]
-        near_pad = self._stage_p2p(ppad, fs)
-        return (far_pad + near_pad) * kappa
+
+        # --- L2P (block layout, static-column derivative terms) -------------
+        Lf = mop.expand_L(t, leaf_local)                   # [G, S_Lf]
+        LfB = Lf.reshape(Gb, nsub, t.S_Lf)
+        from coulomb_oscillators_tpu.ops.multipole.operators import _l2p_terms
+        terms = _l2p_terms(t.dim, t.PL)
+        outs = []
+        for a in range(t.dim):
+            acc = None
+            for (j, k, c) in terms[a]:
+                lj = (dtype.type(c) * LfB[:, :, j])[:, :, None]  # [Gb,nsub,1]
+                term = (lj * Vcols[k].reshape(Gb, nsub, C)).reshape(Gb, CB)
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        lam_div = lamB[..., None]                          # [Gb, nsub, 1, 1]
+        far_blk = (-jnp.stack(outs, axis=-1).reshape(Gb, nsub, C, t.dim)
+                   / lam_div).reshape(Gb, CB, t.dim)
+        far_blk = far_blk * maskB[..., None]
+
+        near_blk = self._stage_p2p(ppad, fs).reshape(Gb, CB, self.dim)
+        return ((far_blk + near_blk) * kappa).reshape(G, C, self.dim)
 
     def potential(self, pos: jax.Array, fs: FmmState) -> jax.Array:
         """Per-particle softened Coulomb potential (kappa-scaled), original
@@ -786,10 +1014,16 @@ class KdFmmEngine:
         val_c = jnp.pad(fs.p2p_valid, (0, qpad - Q)).reshape(-1, pchunk)
         eps2 = dtype.type(self.config.eps2)
 
+        pos_blk = ppad.reshape(self.G_blk, self.C_blk, dim)
+        shift = self.mask_shift
+        blkmask = (1 << shift) - 1
+        group = jnp.arange(self.C_blk, dtype=jnp.int32) // C
+
         def pot_body(acc, args):
             ti, si, vv = args
+            mb = ((si[:, None] >> (shift + group[None, :])) & 1)
             P_t = jnp.take(ppad, jnp.minimum(ti, G - 1), axis=0)
-            P_s = jnp.take(ppad, si, axis=0)
+            P_s = jnp.take(pos_blk, si & blkmask, axis=0)
             dist2 = eps2
             for a in range(dim):
                 da = P_t[:, :, None, a] - P_s[:, None, :, a]
@@ -798,7 +1032,7 @@ class KdFmmEngine:
                 phi = jax.lax.rsqrt(dist2)
             else:
                 phi = -0.5 * jnp.log(dist2)
-            phi = phi * vv[:, None, None]
+            phi = phi * (vv[:, None, None] & (mb[:, None, :] > 0))
             part = jax.ops.segment_sum(jnp.sum(phi, axis=2), ti,
                                        num_segments=G + 1,
                                        indices_are_sorted=True)
@@ -873,62 +1107,44 @@ class KdFmmEngine:
         return self.m2m_up(mpole_leaf, fs)
 
     def _stage_m2l(self, mpole_heap: jax.Array, fs: FmmState) -> jax.Array:
-        """M2L over the UNORDERED pair list (both directions per entry via
-        the parity symmetry — one harmonic evaluation per pair, like the
-        reference's fmm_c2c3 reuse, :655-661); returns local_heap."""
+        """M2L over the DIRECTED entry list (t <- s); returns local_heap.
+
+        Directed entries replace the reference's both-directions-per-pair
+        parity reuse (fmm_c2c3_kdtree_krnl:655-661): the dual-granularity
+        near field absorbs individual directions, and the sparse
+        static-column contraction (operators.m2l_sparse) is cheap enough
+        per entry that directed application wins overall."""
         t = self.tables
         L = self.L
-        dim = self.dim
         dtype = mpole_heap.dtype
         Mheap = _heap_off(L + 1)
-        a_cl = jnp.minimum(fs.m2l_tgt, Mheap - 1)
-        b_cl = fs.m2l_src
-        Rfull = jnp.take(fs.center, a_cl, axis=0) - \
-            jnp.take(fs.center, b_cl, axis=0)
-        Rsafe = jnp.where(fs.m2l_valid[:, None], Rfull, jnp.ones_like(Rfull))
-        lam_a = jnp.take(fs.lam, a_cl, axis=0)
-        lam_b = jnp.take(fs.lam, b_cl, axis=0)
-        Ma = jnp.take(mpole_heap, a_cl, axis=0)
-        Mb = jnp.take(mpole_heap, b_cl, axis=0)
 
-        chunk = min(self.m2l_chunk, Rsafe.shape[0])
-        K = Rsafe.shape[0]
-        kpad = -(-K // chunk) * chunk
+        K = fs.m2l_tgt.shape[0]
+        chunk = _pick_chunk(K, self.m2l_chunk)
+        nch = K // chunk
 
-        def pad0(x, fill=0):
-            # scan-padding rows must stay finite (R) and must scatter into
-            # the dropped overflow row (targets), or NaN leaks into node 0
-            return jnp.pad(x, [(0, kpad - K)] + [(0, 0)] * (x.ndim - 1),
-                           constant_values=fill)
-
-        nch = kpad // chunk
-        Mac = pad0(Ma).reshape(nch, chunk, -1)
-        Mbc = pad0(Mb).reshape(nch, chunk, -1)
-        Rc = pad0(Rsafe, 1).reshape(nch, chunk, dim)
-        lac = pad0(lam_a, 1).reshape(nch, chunk)
-        lbc = pad0(lam_b, 1).reshape(nch, chunk)
-        vc = pad0(fs.m2l_valid).reshape(nch, chunk)
-        tac = pad0(jnp.minimum(fs.m2l_tgt, Mheap),
-                   Mheap).reshape(nch, chunk)
-        tbc = pad0(jnp.minimum(
-            fs.m2l_src + (~fs.m2l_valid) * Mheap, Mheap),
-            Mheap).reshape(nch, chunk)
+        # per-step live data is ONLY the multipole gather; everything
+        # geometric streams sequentially from the rebuild-time fold
+        bc = fs.m2l_src.reshape(nch, chunk)
+        vc = fs.m2l_valid.reshape(nch, chunk)
+        tac = jnp.minimum(
+            fs.m2l_tgt + (~fs.m2l_valid) * Mheap, Mheap).reshape(nch, chunk)
+        h2c = fs.m2l_h2.reshape(nch, chunk, -1)
+        wc = fs.m2l_w.reshape(nch, chunk)
+        lgc = fs.m2l_logc.reshape(nch, chunk)
 
         def m2l_body(acc, args):
-            MaX, MbX, RX, la, lb, vv, ta, tb = args
-            La, Lb = mop.m2l_both(t, MaX, MbX, RX, la, lb)
+            bi, vv, ta, H2, w, logc = args
+            MbX = jnp.take(mpole_heap, bi, axis=0)         # [chunk, S_M]
+            La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
             La = La * vv[:, None]
-            Lb = Lb * vv[:, None]
             part = jax.ops.segment_sum(La, ta, num_segments=Mheap + 1,
                                        indices_are_sorted=True)
-            part = part + jax.ops.segment_sum(Lb, tb,
-                                              num_segments=Mheap + 1)
             return acc + part, None
 
         local_init = jnp.zeros((Mheap + 1, t.S_Lt), dtype)
         local_heap, _ = jax.lax.scan(
-            m2l_body, local_init,
-            (Mac, Mbc, Rc, lac, lbc, vc, tac, tbc))
+            m2l_body, local_init, (bc, vc, tac, h2c, wc, lgc))
         return local_heap[:Mheap]
 
     def l2l_down(self, local_heap: jax.Array, fs: FmmState) -> jax.Array:
@@ -994,24 +1210,30 @@ class KdFmmEngine:
         """
         st = self.st
         n, L, dim, C = self.n, self.L, self.dim, st.C
-        G = 1 << L
+        G = self.G_sub
+        Gb, CB = self.G_blk, self.C_blk
         dtype = ppad.dtype
         eps2 = dtype.type(self.config.eps2)
 
         if self.use_pallas:
             from coulomb_oscillators_tpu.ops.fmm import p2p_pallas
             rows = jnp.zeros((G, C, 8), dtype).at[:, :, :dim].set(ppad)
-            soa = jnp.swapaxes(rows, 1, 2)                    # [G, 8, C]
-            # sentinel block (id G): all-FAR coordinates -> zero weight
-            sent = jnp.zeros((1, 8, C), dtype).at[:, :dim, :].set(
+            rows = rows.reshape(Gb, CB, 8)
+            soa = jnp.swapaxes(rows, 1, 2)                    # [Gb, 8, CB]
+            # sentinel block (id Gb): all-FAR coordinates -> zero weight
+            sent = jnp.zeros((1, 8, CB), dtype).at[:, :dim, :].set(
                 dtype.type(FAR))
-            soa = jnp.concatenate([soa, sent], axis=0)        # [G+1, 8, C]
+            soa = jnp.concatenate([soa, sent], axis=0)        # [Gb+1, 8, CB]
             out = p2p_pallas.p2p_leaf_pairs(
                 rows, soa, fs.p2p_row_ptr, fs.p2p_col2d,
-                dim=dim, eps2=float(self.config.eps2))
-            return out[:, :, :dim]
+                dim=dim, eps2=float(self.config.eps2),
+                nsub=1 << self.sub_depth, mask_shift=self.mask_shift)
+            return out.reshape(G, C, 8)[:, :, :dim]
 
-        pos_pad = ppad
+        pos_blk = ppad.reshape(Gb, CB, dim)
+        shift = self.mask_shift
+        blkmask = (1 << shift) - 1
+        group = jnp.arange(CB, dtype=jnp.int32) // C          # [CB]
 
         tgt = jnp.minimum(fs.p2p_tgt, G - 1)
         src = fs.p2p_src
@@ -1026,12 +1248,15 @@ class KdFmmEngine:
         def p2p_body(acc, args):
             ti, si, vv = args
             ti_cl = jnp.minimum(ti, G - 1)
-            P_t = jnp.take(pos_pad, ti_cl, axis=0)            # [pc, C, dim]
-            P_s = jnp.take(pos_pad, si, axis=0)
+            si_blk = si & blkmask
+            # sub-leaf group mask from the packed top bits
+            mb = ((si[:, None] >> (shift + group[None, :])) & 1)  # [pc, CB]
+            P_t = jnp.take(ppad, ti_cl, axis=0)               # [pc, C, dim]
+            P_s = jnp.take(pos_blk, si_blk, axis=0)           # [pc, CB, dim]
             dist2 = eps2
             ds = []
             for a in range(dim):
-                da = P_t[:, :, None, a] - P_s[:, None, :, a]  # [pc, C, C]
+                da = P_t[:, :, None, a] - P_s[:, None, :, a]  # [pc, C, CB]
                 ds.append(da)
                 dist2 = dist2 + da * da
             r = jax.lax.rsqrt(dist2)
@@ -1039,7 +1264,7 @@ class KdFmmEngine:
                 wgt = r * r * r
             else:
                 wgt = r * r
-            wgt = wgt * vv[:, None, None]
+            wgt = wgt * (vv[:, None, None] & (mb[:, None, :] > 0))
             f = jnp.stack([jnp.sum(ds[a] * wgt, axis=2)
                            for a in range(dim)], axis=-1)
             part = jax.ops.segment_sum(f, ti, num_segments=G + 1,

@@ -96,6 +96,62 @@ def m2l_sparse(t: FmmTables, M: jax.Array, H: jax.Array, v: jax.Array,
     return jnp.stack(cols, axis=1)
 
 
+def m2l_fold_geo(t: FmmTables, R: jax.Array, lam_tgt: jax.Array,
+                 lam_src: jax.Array):
+    """Per-entry M2L geometry, precomputed once per tree rebuild.
+
+    Between rebuilds the centers/scales are frozen, so the harmonics and
+    scale factors of every directed M2L entry are constants; folding them
+    out of the per-step loop leaves only the (live) multipole gather there.
+
+    Returns (H2, w, logc):
+      H2[b, h] = H_h(Rhat) * u^ord(h) / r^eta   (u = lam_tgt/r)
+      w[b]     = v/u                            (v = lam_src/r)
+      logc[b]  = -log r - 1 (2D monopole correction; unused slot in 3D)
+    such that L[b, i] = sum_j coef[i,j] * M[b,j] * w^m_j * H2[b, idx[i,j]]
+    (+ M[:,0]*logc in slot 0 for 2D) — see m2l_sparse_pre.
+    """
+    r = jnp.linalg.norm(R, axis=-1)
+    Rh = R / r[:, None]
+    H = hm.eval_H(Rh, t.maxH, t.dim)
+    u = lam_tgt / r
+    v = lam_src / r
+    from coulomb_oscillators_tpu.ops.multipole import packing as pk
+    _, ord_h, _ = pk.sym_layout(t.maxH, t.dim)
+    up = _pow_cols(u, int(ord_h.max()))
+    Hcols = [H[:, h] * up[int(ord_h[h])] for h in range(t.S_H)]
+    H2 = jnp.stack(Hcols, axis=1)
+    if t.dim == 3:
+        H2 = H2 / r[:, None]
+        logc = jnp.zeros_like(r)
+    else:
+        logc = -jnp.log(r) - 1.0
+    return H2, v / u, logc
+
+
+def m2l_sparse_pre(t: FmmTables, M: jax.Array, H2: jax.Array,
+                   w: jax.Array, logc: jax.Array) -> jax.Array:
+    """Per-step sparse M2L application against precomputed geometry
+    (see :func:`m2l_fold_geo`): [B, S_M] x [B, S_H] x [B] -> [B, S_Lt]."""
+    terms = _m2l_terms(t.dim, t.p, True)
+    wp = _pow_cols(w, t.PM)
+    m_ord = t.m_order
+    Mv = [M[:, j] * wp[int(m_ord[j])] for j in range(t.S_M)]
+    cols = []
+    for i, row in enumerate(terms):
+        acc = None
+        for (j, h, c) in row:
+            term = (c * Mv[j]) * H2[:, h]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros(M.shape[0], M.dtype)
+        cols.append(acc)
+    L = jnp.stack(cols, axis=1)
+    if t.dim == 2:
+        L = L.at[:, 0].add(M[:, 0] * logc)
+    return L
+
+
 def eval_monomial_cols(u: jax.Array, max_order: int, dim: int):
     """Monomial columns of u [..., dim] over the sym layout: list of [...]
     arrays (static per-slot products — no [B, S] materialization unless the

@@ -42,10 +42,13 @@ class PShardLists(NamedTuple):
     p2p_tgt: Tuple[jax.Array, ...]   # each [ndev, Kh]
     p2p_src: Tuple[jax.Array, ...]
     p2p_val: Tuple[jax.Array, ...]
-    # far-field: even split of the global unordered M2L list (psum-combined)
+    # far-field: even split of the global DIRECTED M2L list (psum-combined)
     m2l_tgt: jax.Array               # [ndev, Km]
     m2l_src: jax.Array
     m2l_val: jax.Array
+    m2l_h2: jax.Array                # [ndev, Km, S_H] folded geometry
+    m2l_w: jax.Array                 # [ndev, Km]
+    m2l_logc: jax.Array              # [ndev, Km]
 
 
 def _signed_hop(dev_src: np.ndarray, dev_tgt: np.ndarray, ndev: int):
@@ -62,34 +65,50 @@ def shard_pair_lists(eng: KdFmmEngine, fs: FmmState, ndev: int,
     only — O(pairs) numpy work.
     """
     G = 1 << eng.L
-    assert G % ndev == 0, f"leaf count {G} not divisible by mesh {ndev}"
+    assert G % ndev == 0, f"sub-leaf count {G} not divisible by mesh {ndev}"
     Gl = G // ndev
+    Gb = eng.G_blk
+    assert Gb % ndev == 0, f"block count {Gb} not divisible by mesh {ndev}"
+    Glb = Gb // ndev
 
+    shift = eng.mask_shift
+    blkmask = (1 << shift) - 1
     p2p_t = np.asarray(fs.p2p_tgt)
     p2p_s = np.asarray(fs.p2p_src)
     p2p_v = np.asarray(fs.p2p_valid)
     t = p2p_t[p2p_v]
-    s = p2p_s[p2p_v]
+    s_u = p2p_s[p2p_v].view(np.uint32).astype(np.int64)  # packed blk|mask
+    s = s_u & blkmask                  # source BLOCK ids
+    mbits = s_u >> shift
     dev_t = t // Gl
-    hop = _signed_hop(s // Gl, dev_t, ndev)
+    hop = _signed_hop(s // Glb, dev_t, ndev)
     hops = sorted(set(np.unique(hop).tolist()) | {0})
+
+    # monotone per-hop capacities: pair-list shapes must not shrink across
+    # rebuilds or the jitted scan retraces every window (advisor round 2)
+    caps = getattr(eng, "_pshard_caps", None)
+    if caps is None:
+        caps = eng._pshard_caps = {}
 
     tgt_h, src_h, val_h = [], [], []
     for h in hops:
         sel = hop == h
         th, sh, dh = t[sel], s[sel], dev_t[sel]
+        mh = mbits[sel]
         counts = np.bincount(dh, minlength=ndev)
         Kh = max(int(counts.max()) if counts.size else 0, 1)
         Kh = -(-Kh // 8) * 8
+        Kh = caps[h] = max(Kh, caps.get(h, 0))
         tt = np.full((ndev, Kh), Gl, np.int32)     # Gl = dummy row
         ss = np.zeros((ndev, Kh), np.int32)
         vv = np.zeros((ndev, Kh), bool)
         order = np.argsort(dh, kind="stable")
-        th, sh, dh = th[order], sh[order], dh[order]
+        th, sh, dh, mh = th[order], sh[order], dh[order], mh[order]
         starts = np.searchsorted(dh, np.arange(ndev))
         ranks = np.arange(th.size) - starts[dh]
         tt[dh, ranks] = th % Gl
-        ss[dh, ranks] = sh % Gl
+        ss[dh, ranks] = ((sh % Glb) | (mh << shift)).astype(
+            np.uint32).view(np.int32)
         vv[dh, ranks] = True
         # sort each device's row by local target for segment_sum locality
         rowo = np.argsort(tt + (~vv) * G, axis=1, kind="stable")
@@ -97,22 +116,20 @@ def shard_pair_lists(eng: KdFmmEngine, fs: FmmState, ndev: int,
         src_h.append(jnp.asarray(np.take_along_axis(ss, rowo, 1)))
         val_h.append(jnp.asarray(np.take_along_axis(vv, rowo, 1)))
 
-    m2l_t = np.asarray(fs.m2l_tgt)
-    m2l_s = np.asarray(fs.m2l_src)
-    m2l_v = np.asarray(fs.m2l_valid)
-    Km = m2l_t.shape[0]
-    Kml = -(-Km // ndev)
-    Mheap = _heap_off(eng.L + 1)
-    pad = Kml * ndev - Km
-    m2l_t = np.concatenate([m2l_t, np.full(pad, Mheap, np.int32)])
-    m2l_s = np.concatenate([m2l_s, np.zeros(pad, np.int32)])
-    m2l_v = np.concatenate([m2l_v, np.zeros(pad, bool)])
+    # M2L split: the fs arrays are cap-padded on device (incl. the big
+    # precomputed geometry) — reshape-split them WITHOUT a host round-trip
+    Km = fs.m2l_tgt.shape[0]
+    assert Km % ndev == 0, f"m2l cap {Km} not divisible by mesh {ndev}"
+    Kml = Km // ndev
 
     lists = PShardLists(
         p2p_tgt=tuple(tgt_h), p2p_src=tuple(src_h), p2p_val=tuple(val_h),
-        m2l_tgt=jnp.asarray(m2l_t.reshape(ndev, Kml)),
-        m2l_src=jnp.asarray(m2l_s.reshape(ndev, Kml)),
-        m2l_val=jnp.asarray(m2l_v.reshape(ndev, Kml)))
+        m2l_tgt=fs.m2l_tgt.reshape(ndev, Kml),
+        m2l_src=fs.m2l_src.reshape(ndev, Kml),
+        m2l_val=fs.m2l_valid.reshape(ndev, Kml),
+        m2l_h2=fs.m2l_h2.reshape(ndev, Kml, -1),
+        m2l_w=fs.m2l_w.reshape(ndev, Kml),
+        m2l_logc=fs.m2l_logc.reshape(ndev, Kml))
     return lists, tuple(hops)
 
 
@@ -162,6 +179,7 @@ class PShardedKdFmm:
         G = 1 << L
         dim = eng.dim
         C = eng.st.C
+        ps_Glb = self.Gl >> eng.sub_depth
         leaf0 = _heap_off(L)
         mask_full = np.asarray(eng.st.pad_mask).reshape(G, C)
         kappa = float(eng.config.kappa(eng.n))
@@ -169,8 +187,13 @@ class PShardedKdFmm:
         hpos = sorted(h for h in hops if h > 0)
         hneg = sorted((-h for h in hops if h < 0))
 
+        Glb = ps_Glb
+        CB = C << eng.sub_depth
+
         def p2p_hop(acc, ppad_tgt, blk, tgt, src, val, dtype):
-            """One hop's pair list against the visiting source block."""
+            """One hop's pair list against the visiting source shard
+            (reshaped to 128-lane blocks)."""
+            blk = blk.reshape(Glb, CB, dim)
             Q = tgt.shape[0]
             pchunk = min(eng.p2p_chunk, Q)
             qpad = -(-Q // pchunk) * pchunk
@@ -179,10 +202,15 @@ class PShardedKdFmm:
             src_c = jnp.pad(src, (0, qpad - Q)).reshape(-1, pchunk)
             val_c = jnp.pad(val, (0, qpad - Q)).reshape(-1, pchunk)
 
+            shift = eng.mask_shift
+            bmask = (1 << shift) - 1
+            group = jnp.arange(CB, dtype=jnp.int32) // C
+
             def body(a, args):
                 ti, si, vv = args
+                mb = ((si[:, None] >> (shift + group[None, :])) & 1)
                 P_t = jnp.take(ppad_tgt, jnp.minimum(ti, Gl - 1), axis=0)
-                P_s = jnp.take(blk, si, axis=0)
+                P_s = jnp.take(blk, si & bmask, axis=0)
                 dist2 = dtype.type(eps2)
                 ds = []
                 for ax in range(dim):
@@ -191,7 +219,7 @@ class PShardedKdFmm:
                     dist2 = dist2 + da * da
                 r = jax.lax.rsqrt(dist2)
                 wgt = (r * r * r if dim == 3 else r * r)
-                wgt = wgt * vv[:, None, None]
+                wgt = wgt * (vv[:, None, None] & (mb[:, None, :] > 0))
                 f = jnp.stack([jnp.sum(ds[ax] * wgt, axis=2)
                                for ax in range(dim)], axis=-1)
                 part = jax.ops.segment_sum(f, ti, num_segments=Gl + 1,
@@ -217,7 +245,10 @@ class PShardedKdFmm:
             mpole_heap = eng.m2m_up(mp_leaf, fs)
             fs_m2l = fs._replace(m2l_tgt=lists.m2l_tgt[0],
                                  m2l_src=lists.m2l_src[0],
-                                 m2l_valid=lists.m2l_val[0])
+                                 m2l_valid=lists.m2l_val[0],
+                                 m2l_h2=lists.m2l_h2[0],
+                                 m2l_w=lists.m2l_w[0],
+                                 m2l_logc=lists.m2l_logc[0])
             local_heap = jax.lax.psum(eng._stage_m2l(mpole_heap, fs_m2l),
                                       axis)
             leaf_local = eng.l2l_down(local_heap, fs)             # [G, S_Lt]
@@ -256,7 +287,8 @@ class PShardedKdFmm:
             p2p_src=tuple(P(axis, None) for _ in hops),
             p2p_val=tuple(P(axis, None) for _ in hops),
             m2l_tgt=P(axis, None), m2l_src=P(axis, None),
-            m2l_val=P(axis, None))
+            m2l_val=P(axis, None), m2l_h2=P(axis, None, None),
+            m2l_w=P(axis, None), m2l_logc=P(axis, None))
         fs_spec = FmmState(**{f: P() for f in FmmState._fields})
         sharded = shard_map(
             impl, mesh=self.mesh,

@@ -46,6 +46,8 @@ def pad_pairs_for_mesh(fs: FmmState, ndev: int) -> FmmState:
         p2p_valid=pad1(fs.p2p_valid, False),
         m2l_tgt=pad1(fs.m2l_tgt, Mheap), m2l_src=pad1(fs.m2l_src, 0),
         m2l_valid=pad1(fs.m2l_valid, False),
+        m2l_h2=pad1(fs.m2l_h2, 0.0), m2l_w=pad1(fs.m2l_w, 1.0),
+        m2l_logc=pad1(fs.m2l_logc, 0.0),
     )
 
 
@@ -58,7 +60,8 @@ def make_sharded_force(eng: KdFmmEngine, mesh: Mesh, axis: str = "dp"):
     ndev = mesh.shape[axis]
 
     pair_fields = {"p2p_tgt", "p2p_src", "p2p_valid",
-                   "m2l_tgt", "m2l_src", "m2l_valid"}
+                   "m2l_tgt", "m2l_src", "m2l_valid",
+                   "m2l_h2", "m2l_w", "m2l_logc"}
     fs_specs = FmmState(**{
         f: P(axis) if f in pair_fields else P()
         for f in FmmState._fields})

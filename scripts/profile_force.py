@@ -58,6 +58,22 @@ def main():
     t = test_time_chained(full, pos, min_loop=3.0)
     print(f"force full       : {t * 1e3:8.2f} ms")
 
+    # --- padded production step (what the inter-rebuild scan runs) ---
+    pad_mask0 = jnp.asarray(st.pad_mask)
+    pos_s0 = jnp.take(pos, fs.perm, axis=0)
+    ppad_prod = jnp.where(
+        pad_mask0[:, None],
+        jnp.take(pos_s0, jnp.asarray(st.pad_gather), axis=0),
+        jnp.float32(1e18)).reshape(G, C, dim)
+
+    @jax.jit
+    def fpad(x):
+        a = eng.force_padded_in_jit(x, fs)
+        return x + a * 1e-30
+    t = test_time_chained(fpad, ppad_prod, min_loop=3.0)
+    print(f"force padded     : {t * 1e3:8.2f} ms "
+          f"({n / t / 1e6:.2f}M psteps/s equiv)")
+
     # --- gathers only ---
     @jax.jit
     def gathers(x):
@@ -108,11 +124,12 @@ def main():
         f = eng._stage_p2p(ppad, fs)
         return ppad + f * 1e-30
     t = test_time_chained(p2p, ppad0, min_loop=3.0)
-    # interaction count: each pair contributes C*C (incl. pad lanes)
+    # tile lane-interactions: each (sub-leaf, block) tile is C x C_blk
     q = int(np.sum(np.asarray(fs.p2p_valid)))
-    gint = q * C * C / t / 1e9
-    print(f"P2P (jnp scan)   : {t * 1e3:8.2f} ms   "
-          f"({q} pairs, {gint:.1f} G lane-int/s)")
+    gint = q * C * eng.C_blk / t / 1e9
+    kind = "pallas" if eng.use_pallas else "jnp scan"
+    print(f"P2P ({kind:8s}) : {t * 1e3:8.2f} ms   "
+          f"({q} tiles, {gint:.1f} G lane-int/s)")
 
     # --- rebuild, repeated (steady-state cost) ---
     for _ in range(2):

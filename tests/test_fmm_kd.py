@@ -37,7 +37,9 @@ def test_accuracy_vs_direct(beam, config):
     fs = eng.build(pos)
     acc = eng.force(pos, fs)
     err = float(mean_rel_err(acc, ref))
-    assert err < 2e-2, err
+    # measured 3.4e-4 (p=4, r=2.0, N=1500, CPU, round 3) — bound ~3x above
+    # so a real accuracy regression fails while backend noise passes
+    assert err < 1e-3, err
 
 
 def test_accuracy_improves_with_radius(beam):
@@ -76,7 +78,8 @@ def test_tree_reuse_drift(beam, config):
         ref_err.append(float(mean_rel_err(acc, ref)))
         # small drift, ~ dt * velocity scale
         p = p + jnp.asarray(rng.normal(size=(N, 3)) * 1e-5, dtype=p.dtype)
-    assert ref_err[-1] < ref_err[0] * 3 + 1e-2, ref_err
+    # measured floor 3.5e-4 under this drift (round 3); absolute bound 2x
+    assert ref_err[-1] < 7e-4, ref_err
 
 
 def test_auto_level():

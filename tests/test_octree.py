@@ -48,8 +48,9 @@ def test_appel_monopole_tree(dim):
     acc = eng.force(pos, eng.build(pos))
     ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
     # monopole-about-COC has no dipole term; the quadrupole error of the
-    # fixed [-3,3] stencil geometry remains (~theta^2 with theta ~ 1/2)
-    assert float(mean_rel_err(acc, ref)) < 0.12
+    # fixed [-3,3] stencil geometry remains (~theta^2 with theta ~ 1/2).
+    # measured: 0.068 (3D), 0.046 (2D) on the uniform cloud (round 3)
+    assert float(mean_rel_err(acc, ref)) < 0.09
 
 
 def test_appel_error_scale_invariant_in_depth():
