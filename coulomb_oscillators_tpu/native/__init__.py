@@ -78,6 +78,13 @@ def get_lib():
     lib.co_node_geometry.argtypes = [c_f32p, ctypes.c_int64, ctypes.c_int32,
                                      ctypes.c_int32, c_f32p, c_f32p, c_f32p,
                                      c_f32p]
+    lib.co_traverse_fine.argtypes = [
+        c_f32p, c_f32p, c_f32p, c_i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+        c_i32p, ctypes.c_int64, c_i64p,
+        c_i32p, c_i32p, ctypes.c_int64, c_i64p]
+    lib.co_traverse_fine.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -129,6 +136,41 @@ def node_geometry(pos_s: np.ndarray, L: int):
                          _ptr(rb, ctypes.c_float),
                          _ptr(lam, ctypes.c_float))
     return center, lb, rb, lam
+
+
+def traverse_fine(center, lb, rb, mult, L, sub_depth, n, dim, p, radius,
+                  coll, m2l_cap=1 << 20, near_cap=1 << 20):
+    """Single-pass dual-granularity traversal + device-ready lists.
+
+    Returns (m2l [Kd,2] directed target-sorted, near [Q,2] with packed
+    source blocks, target-sorted), or None if the native lib is
+    unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "co_traverse_fine"):
+        return None
+    center = np.ascontiguousarray(center, dtype=np.float32)
+    lb = np.ascontiguousarray(lb, dtype=np.float32)
+    rb = np.ascontiguousarray(rb, dtype=np.float32)
+    mult = np.ascontiguousarray(mult, dtype=np.int32)
+    while True:
+        m2l = np.empty((m2l_cap, 2), dtype=np.int32)
+        near_t = np.empty(near_cap, dtype=np.int32)
+        near_p = np.empty(near_cap, dtype=np.int32)
+        nm = ctypes.c_int64()
+        nq = ctypes.c_int64()
+        rc = lib.co_traverse_fine(
+            _ptr(center, ctypes.c_float), _ptr(lb, ctypes.c_float),
+            _ptr(rb, ctypes.c_float), _ptr(mult, ctypes.c_int32),
+            L, sub_depth, n, dim, p, radius, int(bool(coll)),
+            _ptr(m2l, ctypes.c_int32), m2l_cap, ctypes.byref(nm),
+            _ptr(near_t, ctypes.c_int32), _ptr(near_p, ctypes.c_int32),
+            near_cap, ctypes.byref(nq))
+        if rc == 0:
+            near = np.stack([near_t[:nq.value], near_p[:nq.value]],
+                            axis=1).astype(np.int64)
+            return m2l[:nm.value].astype(np.int64), near
+        m2l_cap = max(m2l_cap * 2, int(nm.value * 1.2))
+        near_cap = max(near_cap * 2, int(nq.value * 1.2))
 
 
 def traverse(center, lb, rb, mult, L, n, dim, p, radius,

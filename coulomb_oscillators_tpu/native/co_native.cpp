@@ -146,6 +146,165 @@ int32_t co_traverse(const float* center, const float* lb, const float* rb,
   return (nm <= m2l_cap && np_ <= p2p_cap) ? 0 : 1;
 }
 
+// ---------------------------------------------------------------------------
+// Dual-granularity traversal + list construction (round 3), single pass.
+//
+// Runs the MAC dual traversal to the SUB-LEAF level L, then builds on the
+// spot the two device-ready, target-sorted lists the TPU engine consumes:
+//   * near:  directed (target sub-leaf, packed source block) pairs, where
+//     the packed int32 carries the source block id in its low bits and a
+//     2^S-bit sub-leaf membership mask in its top bits (S = sub_depth);
+//   * m2l:   directed (t <- s) heap-index pairs (both directions of every
+//     admissible unordered pair).
+// Counting sorts by target (O(K)); per-target block dedup + mask OR over
+// small sorted runs.  Replaces the numpy post-processing that cost multiple
+// seconds per rebuild on this single-core host.
+// ---------------------------------------------------------------------------
+int32_t co_traverse_fine(const float* center, const float* lb,
+                         const float* rb, const int32_t* mult, int32_t L,
+                         int32_t S, int64_t n, int32_t dim, int32_t p,
+                         float radius, int32_t coll, int32_t* m2l_out,
+                         int64_t m2l_cap, int64_t* m2l_count,
+                         int32_t* near_t_out, int32_t* near_p_out,
+                         int64_t near_cap, int64_t* near_count) {
+  const int64_t leaf0 = (int64_t(1) << L) - 1;
+  const int64_t M = (int64_t(1) << (L + 1)) - 1;
+  const int64_t Gsub = int64_t(1) << L;
+  const int64_t Gblk = Gsub >> S;
+  const int32_t ngroups = 1 << S;
+  const int32_t shift = 32 - ngroups;
+  std::vector<float> sz(M);
+  for (int64_t i = 0; i < M; ++i) {
+    float s = 0;
+    for (int32_t a = 0; a < dim; ++a) {
+      float d = rb[i * dim + a] - lb[i * dim + a];
+      s += d * d;
+    }
+    sz[i] = s;
+  }
+  const float expo = 1.0f / float(3 * p + 6);
+  std::vector<float> pm2(M);
+  for (int64_t i = 0; i < M; ++i) {
+    float Mf = std::pow(float(mult[i]) / float(n), expo);
+    pm2[i] = (radius * Mf) * (radius * Mf);
+  }
+  std::vector<std::pair<int32_t, int32_t>> m2l_u;  // unordered admissible
+  std::vector<std::pair<int32_t, int32_t>> near_u; // unordered sub-leaf
+  m2l_u.reserve(1 << 20);
+  near_u.reserve(1 << 20);
+  std::vector<std::pair<int64_t, int64_t>> stack;
+  stack.reserve(4096);
+  stack.emplace_back(0, 0);
+  while (!stack.empty()) {
+    auto [i, j] = stack.back();
+    stack.pop_back();
+    if (i != j) {
+      float dist2 = 0;
+      for (int32_t a = 0; a < dim; ++a) {
+        float d = center[i * dim + a] - center[j * dim + a];
+        dist2 += d * d;
+      }
+      if (std::max(pm2[i], pm2[j]) * std::max(sz[i], sz[j]) < dist2) {
+        m2l_u.emplace_back(int32_t(i), int32_t(j));
+        continue;
+      }
+    }
+    bool leaf_i = i >= leaf0, leaf_j = j >= leaf0;
+    if (leaf_i && leaf_j) {
+      near_u.emplace_back(int32_t(i - leaf0), int32_t(j - leaf0));
+      continue;
+    }
+    if (i == j) {
+      int64_t l = 2 * i + 1, r = 2 * i + 2;
+      stack.emplace_back(l, l);
+      stack.emplace_back(l, r);
+      stack.emplace_back(r, r);
+    } else if (!leaf_i && (leaf_j || sz[i] >= sz[j])) {
+      stack.emplace_back(2 * i + 1, j);
+      stack.emplace_back(2 * i + 2, j);
+    } else {
+      stack.emplace_back(i, 2 * j + 1);
+      stack.emplace_back(i, 2 * j + 2);
+    }
+  }
+
+  // ---- directed M2L, counting-sorted by target ----
+  const int64_t Kd = int64_t(m2l_u.size()) * 2;
+  {
+    std::vector<int64_t> cnt(M + 1, 0);
+    for (auto& e : m2l_u) {
+      ++cnt[e.first];
+      ++cnt[e.second];
+    }
+    std::vector<int64_t> pos_(M + 1);
+    int64_t run = 0;
+    for (int64_t t = 0; t <= M; ++t) {
+      pos_[t] = run;
+      run += cnt[t];
+    }
+    *m2l_count = Kd;
+    if (Kd <= m2l_cap) {
+      for (auto& e : m2l_u) {
+        int64_t k = pos_[e.first]++;
+        m2l_out[2 * k] = e.first;
+        m2l_out[2 * k + 1] = e.second;
+        k = pos_[e.second]++;
+        m2l_out[2 * k] = e.second;
+        m2l_out[2 * k + 1] = e.first;
+      }
+    }
+  }
+
+  // ---- near: directed, grouped by (target, source block), mask-OR ----
+  if (!coll) {
+    *near_count = 0;
+    return (Kd <= m2l_cap) ? 0 : 1;
+  }
+  std::vector<int64_t> cnt(Gsub + 1, 0);
+  for (auto& e : near_u) {
+    ++cnt[e.first];
+    ++cnt[e.second];
+  }
+  std::vector<int64_t> start(Gsub + 1);
+  int64_t run = 0;
+  for (int64_t t = 0; t <= Gsub; ++t) {
+    start[t] = run;
+    run += cnt[t];
+  }
+  std::vector<int64_t> pos_(start);
+  std::vector<int32_t> srcs(run);
+  for (auto& e : near_u) {
+    srcs[pos_[e.first]++] = e.second;
+    srcs[pos_[e.second]++] = e.first;
+  }
+  int64_t nq = 0;
+  bool ok = true;
+  // per-target: sort the (few dozen) sub-leaf partners, emit one packed
+  // entry per distinct block with OR'd group bits
+  for (int64_t t = 0; t < Gsub; ++t) {
+    int64_t lo = start[t], hi = lo + cnt[t];
+    std::sort(srcs.begin() + lo, srcs.begin() + hi);
+    int64_t k = lo;
+    while (k < hi) {
+      int32_t blk = srcs[k] >> S;
+      uint32_t mask = 0;
+      while (k < hi && (srcs[k] >> S) == blk) {
+        mask |= uint32_t(1) << (srcs[k] & (ngroups - 1));
+        ++k;
+      }
+      if (nq < near_cap) {
+        near_t_out[nq] = int32_t(t);
+        near_p_out[nq] = int32_t(uint32_t(blk) | (mask << shift));
+      } else {
+        ok = false;
+      }
+      ++nq;
+    }
+  }
+  *near_count = nq;
+  return (ok && Kd <= m2l_cap) ? 0 : 1;
+}
+
 // Node geometry from a sorted particle array (host fallback/check).
 // pos_s: [n*dim] sorted; fills center/lb/rb ([M*dim]) and lam [M].
 void co_node_geometry(const float* pos_s, int64_t n, int32_t L, int32_t dim,

@@ -347,13 +347,13 @@ def _pad_pairs(pairs: np.ndarray, cap: int, dummy_tgt: int):
     return tgt, src, valid
 
 
-def _round_cap(k: int, quantum: int = 8192) -> int:
+def _round_cap(k: int, quantum: int = 8192, headroom: float = 1.25) -> int:
     """Padded list capacity: headroom rounded to `quantum`.  Steady-state
-    counts under the async re-sort pipeline run ~15% above a fresh sort
+    counts under the async re-sort pipeline run above a fresh sort
     (one-window-stale leaf partition), so this absorbs them without a
     recompile, while padding waste stays far below the old power-of-two
     policy's up-to-2x."""
-    return max(quantum, -(-int(k * 1.25) // quantum) * quantum)
+    return max(quantum, -(-int(k * headroom) // quantum) * quantum)
 
 
 def _pick_chunk(K: int, target: int) -> int:
@@ -554,10 +554,13 @@ class KdFmmEngine:
         self.last_counts = {"m2l": int(m2l.shape[0]), "p2p": int(p2p.shape[0])}
         # m2l caps quantized to the scan chunk so the streamed geometry
         # reshapes exactly into scan tiles
-        for name, arr, q in (("m2l", m2l, self.m2l_chunk),
-                             ("p2p", p2p, 8192)):
+        # m2l padding is pure waste in the hot loop (the scan runs over the
+        # cap) -> tight 8% headroom; p2p keeps 25% (tiles are cheaper and
+        # the Pallas degree table reallocates on dmax growth anyway)
+        for name, arr, q, hr in (("m2l", m2l, self.m2l_chunk, 1.08),
+                                 ("p2p", p2p, 8192, 1.25)):
             if arr.shape[0] > self.caps[name]:
-                self.caps[name] = _round_cap(arr.shape[0], q)
+                self.caps[name] = _round_cap(arr.shape[0], q, hr)
         Mheap = _heap_off(self.L + 1)
         G = self.G_sub
         m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
@@ -759,97 +762,27 @@ class KdFmmEngine:
         """
         from coulomb_oscillators_tpu import native as conative
         L, S = self.L, self.sub_depth
-        Lc = L - S
         # seed capacities from the previous traversal so growth never costs
         # a full re-traversal (the native path re-runs on overflow)
         last = getattr(self, "last_raw_counts", None) or {}
         caps = {k: max(1 << 20, int(last.get(k, 0) * 1.3))
-                for k in ("m2l", "p2p")}
-        out = conative.traverse(c_h, lb_h, rb_h, self.st.mult, Lc,
-                                self.n, self.dim, self.p,
-                                float(self.config.tree_radius),
-                                m2l_cap=caps["m2l"], p2p_cap=caps["p2p"])
+                for k in ("m2l", "near")}
+        out = conative.traverse_fine(
+            c_h, lb_h, rb_h, self.st.mult, L, S, self.n, self.dim,
+            self.p, float(self.config.tree_radius), self.config.coll,
+            m2l_cap=caps["m2l"], near_cap=caps["near"])
         if out is None:
             m2l_u, p2p_u = _traverse_raw(
                 c_h, lb_h, rb_h, self.st.mult, L, self.n, self.p,
                 float(self.config.tree_radius))
-        else:
-            m2l_c, p2p_c = out
-            m2l_u, p2p_u = self._refine_pairs(m2l_c, p2p_c, c_h, lb_h,
-                                              rb_h, Lc)
-        self.last_raw_counts = {"m2l": int(m2l_u.shape[0]),
-                                "p2p": int(p2p_u.shape[0])}
-        near, m2l_d = self._fine_lists(m2l_u, p2p_u)
+            self.last_raw_counts = {"m2l": int(m2l_u.shape[0]) * 2,
+                                    "near": int(p2p_u.shape[0])}
+            near, m2l_d = self._fine_lists(m2l_u, p2p_u)
+            return m2l_d, near
+        m2l_d, near = out
+        self.last_raw_counts = {"m2l": int(m2l_d.shape[0]),
+                                "near": int(near.shape[0])}
         return m2l_d, near
-
-    def _refine_pairs(self, m2l_c: np.ndarray, p2p_c: np.ndarray,
-                      c_h, lb_h, rb_h, Lc: int):
-        """Refine block-level near pairs to sub-leaf granularity.
-
-        Level-synchronous descent: each inadmissible pair expands to its
-        child pairs (3 for self pairs, 4 otherwise); newly admissible child
-        pairs become M2L entries at that level, the rest descend further.
-        All MAC tests run vectorized over the whole frontier."""
-        L = self.L
-        n, p = self.n, self.p
-        radius = float(self.config.tree_radius)
-        d = np.asarray(rb_h) - np.asarray(lb_h)
-        sz = np.sum(d * d, axis=1)
-        expo = 1.0 / (3 * p + 6)
-        pm2 = ((radius * (self.st.mult.astype(np.float32)
-                          / np.float32(n)) ** expo) ** 2).astype(np.float32)
-        center = np.asarray(c_h, dtype=np.float32)
-        leafL = _heap_off(L)
-
-        cur = p2p_c + _heap_off(Lc)            # heap indices
-        m2l_extra = []
-        near_done = []
-        # split-larger, one side per round (matches co_traverse, so entry
-        # granularity equals the full dual traversal's); self pairs split
-        # both sides at once into (l,l),(l,r),(r,r)
-        for _ in range(2 * (L - Lc) + 1):
-            if cur.size == 0:
-                break
-            i, j = cur[:, 0], cur[:, 1]
-            selfp = i == j
-            sp, ns = cur[selfp], cur[~selfp]
-            cand = []
-            if sp.size:
-                a = sp[:, 0]
-                l, r = 2 * a + 1, 2 * a + 2
-                cand += [np.stack([l, l], 1), np.stack([l, r], 1),
-                         np.stack([r, r], 1)]
-            if ns.size:
-                a, b = ns[:, 0], ns[:, 1]
-                can_a = a < leafL
-                can_b = b < leafL
-                split_a = can_a & ((sz[a] >= sz[b]) | ~can_b)
-                sa, sb = ns[split_a], ns[~split_a]
-                if sa.size:
-                    x, y = sa[:, 0], sa[:, 1]
-                    cand += [np.stack([2 * x + 1, y], 1),
-                             np.stack([2 * x + 2, y], 1)]
-                if sb.size:
-                    x, y = sb[:, 0], sb[:, 1]
-                    cand += [np.stack([x, 2 * y + 1], 1),
-                             np.stack([x, 2 * y + 2], 1)]
-            cand = np.concatenate(cand, axis=0)
-            i, j = cand[:, 0], cand[:, 1]
-            dd = center[i] - center[j]
-            dist2 = np.sum(dd * dd, axis=1)
-            adm = (np.maximum(pm2[i], pm2[j]) * np.maximum(sz[i], sz[j])
-                   < dist2) & (i != j)
-            m2l_extra.append(cand[adm])
-            rest = cand[~adm]
-            # pairs with both sides at sub-leaf level are final near pairs
-            final = (rest[:, 0] >= leafL) & (rest[:, 1] >= leafL)
-            near_done.append(rest[final])
-            cur = rest[~final]
-        assert cur.size == 0, "refinement frontier not exhausted"
-        m2l_u = np.concatenate([m2l_c] + m2l_extra, axis=0)
-        near = np.concatenate(near_done, axis=0) if near_done else \
-            np.zeros((0, 2), np.int64)
-        return m2l_u, near - leafL
 
     # ---------------- force ----------------
     def force(self, pos: jax.Array, fstate: FmmState) -> jax.Array:

@@ -189,11 +189,14 @@ class Simulator:
 
     def _run_psharded(self, state: ParticleState, steps: int) -> ParticleState:
         """Multi-device run: the padded scan executes particle-sharded over
-        the mesh (parallel/fmm_pshard.py); rebuilds are synchronous (host
-        traversal + list resharding at window boundaries)."""
+        the mesh (parallel/fmm_pshard.py).  Window-boundary rebuilds use
+        the same async pipeline as the single-chip path (_rebuild_padded):
+        the host rebuild of window w is computed in the background while
+        window w+1 scans, and adoption costs only the upload + reshard."""
         ts = max(self.config.tree_steps, 1)
         if (self._padded is None or self._fstate is None
                 or state is not self._last_out):
+            self._drop_pending()
             self._fstate = self._fmm.build(state.pos)
             self._reshard_lists()
             self._steps_since_build = 0
@@ -201,10 +204,7 @@ class Simulator:
         done = 0
         while done < steps:
             if self._steps_since_build >= ts:
-                cur = self._unpad_state(self._padded)
-                self._fstate = self._fmm.build(cur.pos)
-                self._reshard_lists()
-                self._padded = self._pad_state(cur)
+                self._rebuild_psharded()
                 self._steps_since_build = 0
             k = min(ts - self._steps_since_build, steps - done)
             self._padded = self._psharded_scan(
@@ -214,6 +214,33 @@ class Simulator:
         out = self._unpad_state(self._padded)
         self._last_out = out
         return out
+
+    def _rebuild_psharded(self) -> None:
+        """Mesh-mode twin of :meth:`_rebuild_padded`: adopt the background
+        rebuild (one window stale, exactly like single-chip async), refresh
+        geometry/lists synchronously while the pipeline primes, and hand
+        the next rebuild to the worker."""
+        from coulomb_oscillators_tpu import native as conative
+        eng = self._fmm
+        can_async = (self.config.tree_async
+                     and hasattr(eng, "build_host")
+                     and conative.get_lib() is not None)
+        cur = self._unpad_state(self._padded)
+        if not can_async:
+            self._fstate = eng.build(cur.pos)
+            self._reshard_lists()
+            self._padded = self._pad_state(cur)
+            return
+        if self._pending is not None:
+            self._fstate = self._pending.result()
+        else:
+            # pipeline priming: exact geometry/list refresh on the current
+            # permutation (bounds exact; only leaf tightness is stale)
+            self._fstate = eng.refresh(self._padded.pos, self._fstate)
+        self._reshard_lists()
+        self._padded = self._pad_state(cur)
+        self._pending = self._executor().submit(
+            lambda p=cur.pos: eng.adopt(eng.build_host(p)))
 
     def _run_padded(self, state: ParticleState, steps: int) -> ParticleState:
         ts = max(self.config.tree_steps, 1)

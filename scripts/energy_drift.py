@@ -96,9 +96,39 @@ def sweep(steps=10_000):
         run_one(n, steps, engine, p, r, dt, integrator=integ, quiet=True)
 
 
+def emit_artifact(path="ENERGY_r03.json", steps=10_000):
+    """Driver-checkable north-star artifact (VERDICT round 2 item 7):
+    N=30001, p=6, r=2.5, dt=2e-5, leapfrog, f64-certified Hamiltonian."""
+    import json
+    n, p, r, dt = 30001, 6, 2.5, 2e-5
+    drift, max_drift, psteps = run_one(n, steps, "fmm3_kd", p, r, dt,
+                                       quiet=True)
+    out = {
+        "metric": "rel_energy_drift",
+        "value": drift,
+        "max_drift": max_drift,
+        "steps": steps,
+        "config": {"n": n, "engine": "fmm3_kd", "p": p, "r": r, "dt": dt,
+                   "integrator": "leapfrog"},
+        "measurement": "ops/energy.py total_energy_kahan (device Kahan rows"
+                       " + f64 host reduce, ~2e-10 accurate)",
+        "note": "north star <=1e-6 @10k steps; at the reference default "
+                "dt=5e-4 drift is encounter-dominated for ANY engine "
+                "(see README drift ladder)",
+        "psteps_per_s": psteps * 1e6,
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
         sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "artifact":
+        emit_artifact(steps=int(sys.argv[2]) if len(sys.argv) > 2
+                      else 10_000)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30001
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000

@@ -60,3 +60,32 @@ def test_kahan_rows_exclude_self_term():
     want = phi.sum(axis=1)
     rel = np.abs(rows - want) / np.abs(want)
     assert rel.max() < 1e-5
+
+
+def test_energy_drift_regression_resolved_dt():
+    """North-star regression (VERDICT r2 item 7): at an encounter-resolving
+    dt the certified drift must stay tiny.  CI-scale twin of the
+    ENERGY_r03.json artifact config (N=30001, dt=2e-5, 10k steps)."""
+    from coulomb_oscillators_tpu import SimConfig, ParticleState
+    from coulomb_oscillators_tpu.models import init_dist as ID
+    from coulomb_oscillators_tpu.ops import energy as E
+    from coulomb_oscillators_tpu.simulate import Simulator
+
+    n, steps, dt = 2048, 1000, 2e-5
+    # tree_steps=64: at this dt the per-window motion is tiny, and CI on
+    # the single-core CPU host cannot afford 125 rebuilds
+    config = SimConfig(fmm_order=5, tree_radius=2.5, dt=dt, tree_steps=64)
+    x = (0.003, 0.001, 0.01)
+    u = tuple(w * xs for w, xs in zip(config.omega0, x))
+    pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
+    state = ParticleState(jnp.asarray(pos), jnp.asarray(vel),
+                          jnp.zeros((n, 3), jnp.float32))
+    sim = Simulator(config, n, engine="fmm3_kd")
+    state = sim.init_acc(state)
+    kappa = config.kappa(n)
+    om2 = config.omega0_sq()
+    e0 = E.total_energy_kahan(state.pos, state.vel, config.eps2, kappa, om2)
+    state = sim.run(state, steps)
+    e1 = E.total_energy_kahan(state.pos, state.vel, config.eps2, kappa, om2)
+    drift = abs(e1 - e0) / abs(e0)
+    assert drift < 5e-7, drift

@@ -92,6 +92,30 @@ def test_full_step_matches_padded_sim(setup):
     assert err < 1e-5, err
 
 
+def test_simulator_mesh_mode_async_matches_single_device(setup):
+    """Mesh mode with the ASYNC rebuild pipeline crosses TWO rebuild
+    windows and stays on the single-device (equally async) trajectory —
+    both paths adopt the same one-window-stale trees."""
+    from coulomb_oscillators_tpu.simulate import Simulator
+    config, n, pos, vel, eng, fs = setup
+    cfg = config.replace(tree_steps=3, tree_async=True)
+    mesh = PM.make_mesh(8)
+    pos_j, vel_j = jnp.asarray(pos), jnp.asarray(vel)
+    steps = 8   # boundaries at steps 3 and 6
+
+    sim_m = Simulator(cfg, n, engine="fmm3_kd", mesh=mesh)
+    st_m = sim_m.init_acc(ParticleState(pos_j, vel_j, jnp.zeros_like(pos_j)))
+    out_m = sim_m.run(st_m, steps)
+
+    sim_1 = Simulator(cfg, n, engine="fmm3_kd")
+    st_1 = sim_1.init_acc(ParticleState(pos_j, vel_j, jnp.zeros_like(pos_j)))
+    out_1 = sim_1.run(st_1, steps)
+
+    scale = float(jnp.max(jnp.abs(out_1.pos)))
+    err = float(jnp.max(jnp.abs(out_m.pos - out_1.pos))) / scale
+    assert err < 1e-4, err
+
+
 def test_simulator_mesh_mode_matches_single_device(setup):
     """Simulator(mesh=...) runs the padded scan particle-sharded, crossing
     a rebuild boundary, and stays on the single-device trajectory."""
