@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
 SEARCH_P = [1, 2, 3, 4, 5, 6]
 SEARCH_R = [1.11, 1.25, 1.43, 1.67, 2.0, 2.5, 3.0]

@@ -112,6 +112,8 @@ def main(argv: Optional[list] = None) -> int:
     print("N-body coulomb oscillators (TPU-native rebuild)\n"
           "Type 'nbco3 -h' for a brief documentation.\n")
     args = build_parser().parse_args(argv)
+    from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     if args.cpu:
         # hard-set: the flag must win even when the ambient env already

@@ -395,21 +395,28 @@ class KdFmmEngine:
         # block level: 128-lane near-field tiles live `sub_depth` levels
         # above the sub-leaves the MAC resolves
         self.sub_depth = max(0, min(sub_depth, self.L))
-        self.tables = build_tables(self.dim, self.p)
+        # COC centers make the dipole identically zero -> drop the order-1
+        # multipole slots everywhere (reference's P2M-from-order-2 +
+        # no_dipole M2L skip, fmm_cart3_kdtree.cuh:231-269)
+        self.tables = build_tables(self.dim, self.p, no_dipole=True)
         # Near-field default: the K-unrolled VMEM-resident Pallas kernel on
         # TPU; the chunked jnp scan elsewhere.  dim=2 stays on the scan
         # (the FAR sentinel's 1/r^2 weight does not underflow exactly in
         # 2D), and so does any N where the resident block SoA
         # ([Gblk+1, 8, CB]) would blow the VMEM budget.
         lane_quantum = max(128 >> self.sub_depth, 8)
+        G_est = 1 << self.L
+        C_est = -(-(-(-n // G_est)) // lane_quantum) * lane_quantum
+        soa_bytes = (G_est + (1 << self.sub_depth)) * 8 * C_est * 4
         if use_pallas is None:
-            G_est = 1 << self.L
-            C_est = -(-(-(-n // G_est)) // lane_quantum) * lane_quantum
-            soa_bytes = (G_est + (1 << self.sub_depth)) * 8 * C_est * 4
             use_pallas = (jax.default_backend() == "tpu"
-                          and config.dim == 3
-                          and soa_bytes <= 100 * 1024 * 1024)
+                          and config.dim == 3)
         self.use_pallas = bool(use_pallas)
+        # above the VMEM budget the SoA stays in HBM and partner blocks
+        # stream through a double-buffered scratch (p2p_pallas streaming
+        # kernel) instead of falling back to the slow jnp scan
+        self.p2p_streaming = self.use_pallas and \
+            soa_bytes > 100 * 1024 * 1024
         self.st = _static_structure(
             n, self.L, pad_to=lane_quantum if self.use_pallas else 1)
         self.caps = {"p2p": 8192, "m2l": m2l_chunk}
@@ -429,7 +436,15 @@ class KdFmmEngine:
         self.m2l_chunk = m2l_chunk
         self.p2p_chunk = p2p_chunk
         self.sort_mode = sort_mode
-        self._force_jit = jax.jit(self._force_impl)
+        # force() runs pad / padded-pipeline / unpad as THREE XLA programs:
+        # compiling the unpad gathers into the same program as the Pallas
+        # near field faults the TPU at some (G, C) shapes (see unpad_array);
+        # the extra dispatches only cost the diagnostic/API path — the
+        # production Simulator scans stay padded end-to-end.
+        self._pad_jit = jax.jit(
+            functools.partial(self.pad_array, fill=FAR))
+        self._padded_force_jit = jax.jit(self.force_padded_in_jit)
+        self._unpad_jit = jax.jit(self.unpad_array)
         self._potential_jit = jax.jit(self._potential_impl)
 
     @property
@@ -666,11 +681,20 @@ class KdFmmEngine:
         quickselect, ~1.5 s at N=1M through the tunnel) exceeds the scan
         window; the Morton equal-count tree is slightly looser than the
         exact kd (a few % more pairs) but the MAC uses true node bounds, so
-        accuracy is unaffected."""
+        accuracy is unaffected.
+
+        sort_mode="kd_device" uses the EXACT equal-count kd build instead
+        (one 2-key lax.sort per level: segment id + the node's split-axis
+        coordinate — the device formulation of the reference CPU path's
+        (segid<<p)|flipped-float-bits packing, fmm_cart3_kdtree.cuh:167-187);
+        costlier than the Morton single sort but immune to its loose-leaf
+        penalty on concentrated beams (13x pair count, commit 6d6594c)."""
         import time as _time
         bt = {}
         t0 = _time.perf_counter()
-        perm, center, lam, lb, rb = _build_device_morton(
+        build_fn = (_build_device if self.sort_mode == "kd_device"
+                    else _build_device_morton)
+        perm, center, lam, lb, rb = build_fn(
             pos, self.n, self.L, self.dim)
         c_h = np.asarray(center)
         lb_h = np.asarray(lb)
@@ -790,6 +814,12 @@ class KdFmmEngine:
         includes kappa) in the ORIGINAL particle order."""
         return self._force_jit(pos, fstate)
 
+    def _force_jit(self, pos: jax.Array, fstate: FmmState) -> jax.Array:
+        """Three-program force dispatch (see __init__ on why not one jit)."""
+        ppad = self._pad_jit(pos, fstate)
+        acc_pad = self._padded_force_jit(ppad, fstate)
+        return self._unpad_jit(acc_pad, fstate)
+
     def force_in_jit(self, pos: jax.Array, fs: FmmState) -> jax.Array:
         """Traceable force (for composition inside an outer jit)."""
         return self._force_impl(pos, fs)
@@ -822,8 +852,16 @@ class KdFmmEngine:
         return flat.reshape(G, C, x.shape[1])
 
     def unpad_array(self, xpad: jax.Array, fs: FmmState) -> jax.Array:
-        """Padded [G, C, k] -> original-order [n, k]."""
+        """Padded [G, C, k] -> original-order [n, k].
+
+        The optimization_barrier works around a Mosaic/XLA fault: letting
+        the unpad gathers fuse into the same schedule region as the Pallas
+        near-field output crashes the TPU worker at some (G, C) shapes
+        (reproduced at N=1M, L=15, CB=128: force() faulted while the padded
+        pipeline alone and pad-side fusion both ran clean; the barrier
+        restores the default layout/schedule at the boundary)."""
         st = self.st
+        xpad = jax.lax.optimization_barrier(xpad)
         xs = jnp.take(xpad.reshape(-1, xpad.shape[-1]),
                       jnp.asarray(st.unpad_gather), axis=0)
         return jnp.take(xs, fs.inv_perm, axis=0)
@@ -868,7 +906,8 @@ class KdFmmEngine:
             self.st.mult[leaf0:].reshape(Gb, nsub).astype(np.float32))
         mp_cols = [counts]
         for j in range(1, t.S_M):
-            s = Vcols[j].reshape(Gb, nsub, C).sum(axis=2)  # [Gb, nsub]
+            col = Vcols[int(t.m_slots[j])]
+            s = col.reshape(Gb, nsub, C).sum(axis=2)       # [Gb, nsub]
             mp_cols.append(dtype.type(t.p2m_coef[j]) * s)
         mpole_leaf = jnp.stack(mp_cols, axis=-1).reshape(G, t.S_M)
 
@@ -1157,7 +1196,9 @@ class KdFmmEngine:
             sent = jnp.zeros((1, 8, CB), dtype).at[:, :dim, :].set(
                 dtype.type(FAR))
             soa = jnp.concatenate([soa, sent], axis=0)        # [Gb+1, 8, CB]
-            out = p2p_pallas.p2p_leaf_pairs(
+            kern = (p2p_pallas.p2p_leaf_pairs_streaming if self.p2p_streaming
+                    else p2p_pallas.p2p_leaf_pairs)
+            out = kern(
                 rows, soa, fs.p2p_row_ptr, fs.p2p_col2d,
                 dim=dim, eps2=float(self.config.eps2),
                 nsub=1 << self.sub_depth, mask_shift=self.mask_shift)

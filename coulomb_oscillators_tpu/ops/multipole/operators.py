@@ -37,7 +37,8 @@ def _j(x, dtype=jnp.float32):
 
 
 @functools.lru_cache(maxsize=None)
-def _m2l_terms(dim: int, p: int, truncate: bool = True):
+def _m2l_terms(dim: int, p: int, truncate: bool = True,
+               no_dipole: bool = False):
     """Static sparse term list of the M2L contraction, grouped by output
     slot: terms[i] = tuple of (j, h, coef) with
     L[b, i] = sum coef * Mv[b, j] * H[b, h].
@@ -48,7 +49,7 @@ def _m2l_terms(dim: int, p: int, truncate: bool = True):
     multiply-adds per pair with no intermediate — the TPU analogue of the
     reference's unrolled static_m2l_acc3 (fmm_cart_base3.cuh:1265-1346).
     """
-    t = build_tables(dim, p, truncate)
+    t = build_tables(dim, p, truncate, no_dipole)
     terms = []
     for i in range(t.S_Lt):
         row = []
@@ -76,7 +77,7 @@ def m2l_sparse(t: FmmTables, M: jax.Array, H: jax.Array, v: jax.Array,
     log-correction (callers apply those).  sign=-1 evaluates the opposite
     direction using the parity H_k(-Rhat) = (-1)^k H_k(Rhat).
     """
-    terms = _m2l_terms(t.dim, t.p, True)
+    terms = _m2l_terms(t.dim, t.p, True, t.no_dipole)
     vp = _pow_cols(v, t.PM)
     up = _pow_cols(u, t.PL)
     m_ord = t.m_order
@@ -133,7 +134,7 @@ def m2l_sparse_pre(t: FmmTables, M: jax.Array, H2: jax.Array,
                    w: jax.Array, logc: jax.Array) -> jax.Array:
     """Per-step sparse M2L application against precomputed geometry
     (see :func:`m2l_fold_geo`): [B, S_M] x [B, S_H] x [B] -> [B, S_Lt]."""
-    terms = _m2l_terms(t.dim, t.p, True)
+    terms = _m2l_terms(t.dim, t.p, True, t.no_dipole)
     wp = _pow_cols(w, t.PM)
     m_ord = t.m_order
     Mv = [M[:, j] * wp[int(m_ord[j])] for j in range(t.S_M)]
@@ -214,18 +215,22 @@ def l2p_field_cols(t: FmmTables, Lf: jax.Array, Vcols, lam: jax.Array) -> jax.Ar
 
 def p2m_from_cols(t: FmmTables, Vcols, mask3: jax.Array) -> jax.Array:
     """Leaf multipoles from precomputed monomial columns of the normalized
-    offsets (first S_M slots of the order-0..PL layout): [G, S_M]."""
+    offsets (slots t.m_slots of any sym layout of order >= PM): [G, S_M]."""
     coef = t.p2m_coef
     cols = []
     for j in range(t.S_M):
-        cj = jnp.where(mask3, Vcols[j], 0.0)
+        cj = jnp.where(mask3, Vcols[int(t.m_slots[j])], 0.0)
         cols.append(coef[j] * jnp.sum(cj, axis=1))
     return jnp.stack(cols, axis=1)
 
 
 def eval_monomials_M(t: FmmTables, e: jax.Array) -> jax.Array:
-    """Monomials over the multipole layout (orders 0..PM): [B, S_M]."""
-    return hm.eval_monomials(e, t.PM, t.dim)
+    """Monomials over the multipole layout: [B, S_M] (no_dipole layouts
+    gather their kept slots from the full evaluation)."""
+    V = hm.eval_monomials(e, t.PM, t.dim)
+    if t.no_dipole:
+        V = V[..., np.asarray(t.m_slots)]
+    return V
 
 
 def eval_monomials_L(t: FmmTables, e: jax.Array) -> jax.Array:
@@ -251,8 +256,9 @@ def m2m(t: FmmTables, M: jax.Array, s: jax.Array, rho: jax.Array) -> jax.Array:
 
     s = (x_child - x_parent)/lam_parent ; rho = lam_child/lam_parent.
     """
-    Vs = eval_monomials_M(t, -s)                          # [B, S_M]
-    W = _j(t.m2m_W, M.dtype).reshape(t.S_M, -1)
+    # V slots are shift-vector monomials (-s)^b — always the FULL layout
+    Vs = hm.eval_monomials(-s, t.PM, t.dim)               # [B, S_Mfull]
+    W = _j(t.m2m_W, M.dtype).reshape(t.S_Mfull, -1)
     K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_M, t.S_M)
     Mpre = M * (rho[:, None] ** _j(t.m_order, M.dtype)[None, :])
     return jnp.sum(K * Mpre[:, None, :], axis=2)
@@ -390,8 +396,9 @@ def m2p_potential(t: FmmTables, M: jax.Array, R: jax.Array,
     v = lam_src / r
     Mv = M * _j(t.m2p_coef, M.dtype)[None] * \
         (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
-    # H layout for orders 0..P coincides with the multipole layout slots
-    pot = jnp.sum(Mv * H[:, : t.S_M], axis=-1)
+    # H slots for the multipole layout (layouts nest; m_slots skips any
+    # dropped dipole slots)
+    pot = jnp.sum(Mv * H[:, np.asarray(t.m_slots)], axis=-1)
     if t.dim == 3:
         return pot / r
     # 2D: monopole term uses -log r instead of H_0 = 1

@@ -52,14 +52,20 @@ class FmmTables:
     p: int           # expansion order
     PM: int          # multipole orders 0..PM = p-1
     PL: int          # local orders 0..PL = p
+    no_dipole: bool  # order-1 multipole slots dropped (COC centers)
     # sizes
-    S_M: int         # sym layout size, orders 0..PM (multipoles)
+    S_M: int         # multipole layout size (sym orders 0..PM, minus the
+                     # dim order-1 slots when no_dipole)
+    S_Mfull: int     # full sym layout size, orders 0..PM (m2m V-slot space)
     S_Lt: int        # traceless layout size, orders 0..PL (locals, stored)
     S_Lf: int        # sym layout size, orders 0..PL (locals, expanded)
     S_H: int         # sym layout size, orders 0..maxH (harmonics)
     maxH: int
     # per-slot orders
     m_order: np.ndarray   # [S_M]
+    m_slots: np.ndarray   # [S_M] slot -> index in the FULL sym layout
+                          # (identity when no_dipole=False; layouts nest, so
+                          # these also index any sym layout of order >= PM)
     nt_order: np.ndarray  # [S_Lt]
     nf_order: np.ndarray  # [S_Lf]
     # tables
@@ -85,20 +91,36 @@ class FmmTables:
 
 
 @functools.lru_cache(maxsize=None)
-def build_tables(dim: int, p: int, truncate: bool = True) -> FmmTables:
+def build_tables(dim: int, p: int, truncate: bool = True,
+                 no_dipole: bool = False) -> FmmTables:
     """Tables for expansion order p.  truncate=False keeps all m+n <= PM+PL
     M2L couplings (full Taylor, used by tests); the engine default mirrors
-    the reference's maxm = p truncation."""
+    the reference's maxm = p truncation.
+
+    no_dipole=True drops the dim order-1 multipole slots from the layout:
+    with center-of-charge expansion centers the dipole is identically zero
+    at every level, so P2M/M2M/M2L never need those slots (the reference's
+    P2M-from-order-2 + no_dipole M2L skip, fmm_cart3_kdtree.cuh:231-269,
+    fmm_cart_base3.cuh:1203-1212).  Only valid for engines whose centers
+    are COC.  The m2m V-slot space stays the FULL sym layout (shift-vector
+    monomials s^b with |b| = 1 are geometry, not multipoles)."""
     PM = p - 1
     PL = p
     maxH = max(PM + PL if not truncate else p, PM + 1)
 
-    symM, m_order, symM_idx = pk.sym_layout(PM, dim)
+    symMf, mf_order, symMf_idx = pk.sym_layout(PM, dim)
+    keep = [j for j in range(len(symMf))
+            if not (no_dipole and mf_order[j] == 1)]
+    symM = tuple(symMf[j] for j in keep)
+    m_order = np.asarray([mf_order[j] for j in keep])
+    m_slots = np.asarray(keep, dtype=np.int32)
+    symM_idx = {e: j for j, e in enumerate(symM)}
     trcL, nt_order, _ = pk.trc_layout(PL, dim)
     symL, nf_order, symL_idx = pk.sym_layout(PL, dim)
     symH, _, symH_idx = pk.sym_layout(maxH, dim)
 
     S_M, S_Lt, S_Lf, S_H = len(symM), len(trcL), len(symL), len(symH)
+    S_Mfull = len(symMf)
 
     p2m_coef = np.array([(-1.0) ** n / math.factorial(n) for n in m_order])
 
@@ -126,7 +148,7 @@ def build_tables(dim: int, p: int, truncate: bool = True) -> FmmTables:
             b = _sub(a, g)
             if not _valid(b):
                 continue
-            m2m_idx[i, j] = symM_idx[b]
+            m2m_idx[i, j] = symMf_idx[b]   # V slot: FULL layout (s^b)
             m2m_coef[i, j] = (pk.binom_multi(a, b)
                               * math.factorial(sum(g)) / math.factorial(n))
 
@@ -175,14 +197,15 @@ def build_tables(dim: int, p: int, truncate: bool = True) -> FmmTables:
         return out
 
     m2l_W = densify(m2l_idx, m2l_coef, S_H)
-    m2m_W = densify(m2m_idx, m2m_coef, S_M)
+    m2m_W = densify(m2m_idx, m2m_coef, S_Mfull)
     l2l_W = densify(l2l_idx, l2l_coef, S_Lf)
     m2p_W = densify(m2p_idx, np.broadcast_to(m2p_coef, (dim, S_M)), S_H)
 
     return FmmTables(
-        dim=dim, p=p, PM=PM, PL=PL,
-        S_M=S_M, S_Lt=S_Lt, S_Lf=S_Lf, S_H=S_H, maxH=maxH,
-        m_order=np.asarray(m_order), nt_order=np.asarray(nt_order),
+        dim=dim, p=p, PM=PM, PL=PL, no_dipole=no_dipole,
+        S_M=S_M, S_Mfull=S_Mfull, S_Lt=S_Lt, S_Lf=S_Lf, S_H=S_H, maxH=maxH,
+        m_order=np.asarray(m_order), m_slots=m_slots,
+        nt_order=np.asarray(nt_order),
         nf_order=np.asarray(nf_order),
         p2m_coef=p2m_coef, extend_L=extend_L,
         m2l_idx=m2l_idx, m2l_coef=m2l_coef,

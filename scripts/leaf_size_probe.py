@@ -15,6 +15,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 import numpy as np
 
 from coulomb_oscillators_tpu import SimConfig

@@ -12,6 +12,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,11 +38,16 @@ def main():
     variants = {
         "diff": dict(use_pallas=False),
         "pallas": dict(use_pallas=True),
+        "stream": dict(use_pallas=True, streaming=True),
     }
     results = {}
     ref_unpad = None
     for name, kw in variants.items():
+        kw = dict(kw)
+        streaming = kw.pop("streaming", False)
         eng = KdFmmEngine(cfg, n, **kw)
+        if streaming:
+            eng.p2p_streaming = True
         fs = eng.build(pos)
         st = eng.st
         G, C, dim = 1 << eng.L, st.C, eng.dim

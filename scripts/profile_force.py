@@ -16,6 +16,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,9 +69,11 @@ def main():
         jnp.take(pos_s0, jnp.asarray(st.pad_gather), axis=0),
         jnp.float32(1e18)).reshape(G, C, dim)
 
-    @jax.jit
+    # chain through the engine's ALREADY-COMPILED padded program (a fresh
+    # wrapper jit would recompile the whole force — minutes per config on
+    # this host); the eager add still creates the data dependency
     def fpad(x):
-        a = eng.force_padded_in_jit(x, fs)
+        a = eng._padded_force_jit(x, fs)
         return x + a * 1e-30
     t = test_time_chained(fpad, ppad_prod, min_loop=3.0)
     print(f"force padded     : {t * 1e3:8.2f} ms "

@@ -41,7 +41,16 @@ def test_pallas_p2p_matches_scan():
     ref_eng = KdFmmEngine(cfg, n)
     ref = ref_eng.force(pos, ref_eng.build(pos))
     pal_eng = KdFmmEngine(cfg, n, use_pallas=True)
-    got = pal_eng.force(pos, pal_eng.build(pos))
+    fs = pal_eng.build(pos)
+    got = pal_eng.force(pos, fs)
     scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
     dev = float(jnp.max(jnp.linalg.norm(got - ref, axis=1))) / scale
     assert dev < 1e-5, dev
+
+    # HBM-streaming variant must agree exactly with the resident kernel
+    # (fresh jit: the padded-force trace caches the kernel choice)
+    pal_eng.p2p_streaming = True
+    pal_eng._padded_force_jit = jax.jit(pal_eng.force_padded_in_jit)
+    got_s = pal_eng.force(pos, fs)
+    dev_s = float(jnp.max(jnp.linalg.norm(got_s - got, axis=1))) / scale
+    assert dev_s < 1e-6, dev_s

@@ -68,6 +68,26 @@ def test_png_roundtrip(tmp_path):
     assert row[center] == 255 and row[center + 1] == 0
 
 
+def test_iteration_overlay():
+    # reference draws std::to_string(iter) in green at GL (24, 24)
+    # (Graphics/main.cpp:214-219); glyph pixels are green-only and sit in
+    # the bottom-left corner (GL origin = bottom-left)
+    img = view.render_frame(np.zeros((0, 2)), scale=1.0)
+    view.draw_text(img, "120", 24, 24)
+    assert img[..., 1].max() == 255          # green on
+    assert img[..., 0].max() == 0            # no red from the overlay
+    ys, xs = np.nonzero(img[..., 1])
+    side = view.REF_SIDE
+    assert ys.min() >= side - 24 - 7 * 2 - 2 and ys.max() <= side - 1 - 24 + 1
+    assert xs.min() >= 24 and xs.max() <= 24 + 3 * 6 * 2
+    # digits differ: "0" and "1" must not rasterize identically
+    a = view.render_frame(np.zeros((0, 2)), scale=1.0)
+    view.draw_text(a, "0", 24, 24)
+    b = view.render_frame(np.zeros((0, 2)), scale=1.0)
+    view.draw_text(b, "1", 24, 24)
+    assert (a != b).any()
+
+
 def test_end_to_end_frames(tmp_path):
     # two snapshots out0/out20 like a stride-20 run, rendered via main()
     rng = np.random.default_rng(7)
