@@ -60,9 +60,16 @@ def _time_steps(sim, state, steps=16, repeats=5):
 
 
 def autotune(state, n, base):
-    """Reference -accuracy grid search sharing one kd sort/geometry."""
+    """Reference -accuracy grid search sharing one kd sort/geometry.
+
+    Compile economy (this host pays MINUTES per large remote XLA compile):
+    the compiled force program depends on p (tables) and the padded list
+    caps — NOT on r — so for each p all radii are traversed first, the
+    caps are pre-maxed, and the whole r-sweep then reuses ONE compiled
+    program (6 big compiles for the 42-config grid instead of 42)."""
     from coulomb_oscillators_tpu.ops import direct as D
     from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
+    from coulomb_oscillators_tpu.ops.fmm.kdtree import _round_cap
     from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
     from coulomb_oscillators_tpu.utils.timing import test_time_chained
     from coulomb_oscillators_tpu import native as conative
@@ -77,7 +84,7 @@ def autotune(state, n, base):
     # shared tree: the kd permutation/geometry depend only on (n, L)
     geo_cache = {}
 
-    def build_shared(eng, pos):
+    def shared_geo(eng, pos):
         key = eng.L
         if key not in geo_cache:
             pos_h = np.asarray(pos, dtype=np.float32)
@@ -87,17 +94,34 @@ def autotune(state, n, base):
             inv = np.empty_like(perm)
             inv[perm] = np.arange(n, dtype=perm.dtype)
             geo_cache[key] = (perm, inv, geom)
-        perm, inv, (c_h, lb_h, rb_h, lam_h) = geo_cache[key]
-        m2l, p2p = eng._traverse(c_h, lb_h, rb_h)
-        return eng._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p, {})
+        return geo_cache[key]
 
     best = None
     tried = []
-    for r in SEARCH_R:
-        for p in SEARCH_P:
-            cfg = base.replace(fmm_order=p, tree_radius=r)
-            eng = KdFmmEngine(cfg, n)
-            fs = build_shared(eng, state.pos)
+    for p in SEARCH_P:
+        eng = KdFmmEngine(base.replace(fmm_order=p, tree_radius=SEARCH_R[0]),
+                          n)
+        perm, inv, (c_h, lb_h, rb_h, lam_h) = shared_geo(eng, state.pos)
+        # pre-pass: traverse every radius, pre-max the caps so the whole
+        # r-sweep shares one compiled program
+        lists = {}
+        for r in SEARCH_R:
+            eng.config = base.replace(fmm_order=p, tree_radius=r)
+            lists[r] = eng._traverse(c_h, lb_h, rb_h)
+        eng.caps["m2l"] = _round_cap(
+            max(m.shape[0] for m, _ in lists.values()), eng.m2l_chunk, 1.08)
+        eng.caps["p2p"] = _round_cap(
+            max(q.shape[0] for _, q in lists.values()), 8192, 1.25)
+        dmax = 1
+        for _, q in lists.values():
+            if q.shape[0]:
+                deg = int(np.bincount(q[:, 0].astype(np.int64)).max())
+                dmax = max(dmax, deg)
+        eng.caps["dmax"] = -(-max(128, dmax) // 128) * 128
+        for r in SEARCH_R:
+            eng.config = base.replace(fmm_order=p, tree_radius=r)
+            m2l, p2p = lists[r]
+            fs = eng._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p, {})
             err = float(mean_rel_err(eng.force(state.pos, fs)[sub], acc_ref))
             row = {"p": p, "r": r, "err": err}
             if err < ERR_BOUND:
@@ -111,8 +135,6 @@ def autotune(state, n, base):
             print(f"# p={p} r={r} err={err:.2e}"
                   + (f" t={row.get('force_s')}" if "force_s" in row else ""),
                   flush=True)
-        # grid is monotone enough that once several r pass with headroom,
-        # larger r only gets slower — but mirror the reference and sweep all
     return best, tried
 
 

@@ -31,6 +31,14 @@ from coulomb_oscillators_tpu.ops.multipole.tables import FmmTables, build_tables
 # near field is VPU-elementwise and unaffected.
 PREC = jax.lax.Precision.HIGHEST
 
+# Above this expansion order the static-column sparse operator forms are
+# counterproductive: their term lists grow combinatorially (thousands of
+# traced ops at p=10), exploding trace+compile time, while the dense
+# W-matrix forms stay one matmul.  p <= 6 covers every production config
+# (the reference autotune grid stops at 6, main3.cu:739); higher orders
+# (-test sweeps to 10) take the dense path.
+SPARSE_P_MAX = 6
+
 
 def _j(x, dtype=jnp.float32):
     return jnp.asarray(x, dtype=dtype)
@@ -77,6 +85,16 @@ def m2l_sparse(t: FmmTables, M: jax.Array, H: jax.Array, v: jax.Array,
     log-correction (callers apply those).  sign=-1 evaluates the opposite
     direction using the parity H_k(-Rhat) = (-1)^k H_k(Rhat).
     """
+    if t.p > SPARSE_P_MAX:
+        W = _j(t.m2l_W, M.dtype).reshape(t.S_H, -1)
+        K = jnp.matmul(H, W, precision=PREC).reshape(-1, t.S_Lt, t.S_M)
+        if sign == -1:
+            par = _j((-1.0) ** (np.asarray(t.nt_order)[:, None]
+                                + np.asarray(t.m_order)[None, :]), M.dtype)
+            K = K * par[None]
+        Mv = M * (v[:, None] ** _j(t.m_order, M.dtype)[None, :])
+        L = jnp.sum(K * Mv[:, None, :], axis=2)
+        return L * (u[:, None] ** _j(t.nt_order, M.dtype)[None, :])
     terms = _m2l_terms(t.dim, t.p, True, t.no_dipole)
     vp = _pow_cols(v, t.PM)
     up = _pow_cols(u, t.PL)
@@ -134,6 +152,14 @@ def m2l_sparse_pre(t: FmmTables, M: jax.Array, H2: jax.Array,
                    w: jax.Array, logc: jax.Array) -> jax.Array:
     """Per-step sparse M2L application against precomputed geometry
     (see :func:`m2l_fold_geo`): [B, S_M] x [B, S_H] x [B] -> [B, S_Lt]."""
+    if t.p > SPARSE_P_MAX:
+        W = _j(t.m2l_W, M.dtype).reshape(t.S_H, -1)
+        K = jnp.matmul(H2, W, precision=PREC).reshape(-1, t.S_Lt, t.S_M)
+        Mv = M * (w[:, None] ** _j(t.m_order, M.dtype)[None, :])
+        L = jnp.sum(K * Mv[:, None, :], axis=2)
+        if t.dim == 2:
+            L = L.at[:, 0].add(M[:, 0] * logc)
+        return L
     terms = _m2l_terms(t.dim, t.p, True, t.no_dipole)
     wp = _pow_cols(w, t.PM)
     m_ord = t.m_order
@@ -251,17 +277,53 @@ def p2m_contrib(t: FmmTables, e: jax.Array, q=None) -> jax.Array:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _m2m_terms(dim: int, p: int, no_dipole: bool = False):
+    """Static sparse term list of M2M grouped by output slot:
+    terms[i] = tuple of (j, h, coef) with
+    M'[b, i] = sum coef * Mrho[b, j] * Vs[b, h] (h indexes the FULL sym
+    layout of the shift monomials)."""
+    t = build_tables(dim, p, True, no_dipole)
+    terms = []
+    for i in range(t.S_M):
+        row = []
+        for j in range(t.S_M):
+            c = t.m2m_coef[i, j]
+            if c != 0.0:
+                row.append((j, int(t.m2m_idx[i, j]), float(c)))
+        terms.append(tuple(row))
+    return tuple(terms)
+
+
 def m2m(t: FmmTables, M: jax.Array, s: jax.Array, rho: jax.Array) -> jax.Array:
     """Shift multipoles to a new center: [B,S_M],[B,dim],[B] -> [B,S_M].
 
     s = (x_child - x_parent)/lam_parent ; rho = lam_child/lam_parent.
-    """
-    # V slots are shift-vector monomials (-s)^b — always the FULL layout
-    Vs = hm.eval_monomials(-s, t.PM, t.dim)               # [B, S_Mfull]
-    W = _j(t.m2m_W, M.dtype).reshape(t.S_Mfull, -1)
-    K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_M, t.S_M)
-    Mpre = M * (rho[:, None] ** _j(t.m_order, M.dtype)[None, :])
-    return jnp.sum(K * Mpre[:, None, :], axis=2)
+    Static-column sparse form: the dense per-node operator (K = Vs @ W,
+    [B, S_M, S_M]) ran as skinny K=S_M 3-pass-f32 matmuls per tree level —
+    ~141 ms of the force eval at N=1M — while the same contraction is a few
+    hundred fused VPU column multiply-adds."""
+    if t.p > SPARSE_P_MAX:
+        Vs = hm.eval_monomials(-s, t.PM, t.dim)           # [B, S_Mfull]
+        W = _j(t.m2m_W, M.dtype).reshape(t.S_Mfull, -1)
+        K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_M, t.S_M)
+        Mpre = M * (rho[:, None] ** _j(t.m_order, M.dtype)[None, :])
+        return jnp.sum(K * Mpre[:, None, :], axis=2)
+    terms = _m2m_terms(t.dim, t.p, t.no_dipole)
+    Vcols = eval_monomial_cols(-s, t.PM, t.dim)           # full layout
+    rp = _pow_cols(rho, t.PM)
+    m_ord = t.m_order
+    Mv = [M[:, j] * rp[int(m_ord[j])] for j in range(t.S_M)]
+    cols = []
+    for i, row in enumerate(terms):
+        acc = None
+        for (j, h, c) in row:
+            term = (c * Mv[j]) * Vcols[h]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros(M.shape[0], M.dtype)
+        cols.append(acc)
+    return jnp.stack(cols, axis=1)
 
 
 def m2l(t: FmmTables, M: jax.Array, R: jax.Array,
@@ -310,9 +372,51 @@ def m2l_both(t: FmmTables, M1: jax.Array, M2: jax.Array, R: jax.Array,
     return L1, L2
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_terms(dim: int, p: int):
+    t = build_tables(dim, p)
+    terms = []
+    for j in range(t.S_Lf):
+        row = [(i, float(t.extend_L[j, i])) for i in range(t.S_Lt)
+               if t.extend_L[j, i] != 0.0]
+        terms.append(tuple(row))
+    return tuple(terms)
+
+
 def expand_L(t: FmmTables, Lt: jax.Array) -> jax.Array:
-    """Traceless-stored locals -> full symmetric layout [B, S_Lf]."""
-    return jnp.matmul(Lt, _j(t.extend_L, Lt.dtype).T, precision=PREC)
+    """Traceless-stored locals -> full symmetric layout [B, S_Lf].
+
+    Sparse column form: the detrace recurrence gives each full slot a
+    handful of traceless contributions (fmm_cart_base3.cuh:234-241)."""
+    terms = _expand_terms(t.dim, t.p)
+    Lcols = [Lt[:, i] for i in range(t.S_Lt)]
+    cols = []
+    for row in terms:
+        acc = None
+        for (i, c) in row:
+            term = c * Lcols[i] if c != 1.0 else Lcols[i]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros(Lt.shape[0], Lt.dtype)
+        cols.append(acc)
+    return jnp.stack(cols, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _l2l_terms(dim: int, p: int):
+    """Static sparse term list of L2L grouped by output slot:
+    terms[i] = tuple of (j, h, coef) with
+    T'[b, i] = sum coef * Lf[b, j] * Vs[b, h]."""
+    t = build_tables(dim, p)
+    terms = []
+    for i in range(t.S_Lt):
+        row = []
+        for j in range(t.S_Lf):
+            c = t.l2l_coef[i, j]
+            if c != 0.0:
+                row.append((j, int(t.l2l_idx[i, j]), float(c)))
+        terms.append(tuple(row))
+    return tuple(terms)
 
 
 def l2l(t: FmmTables, Lt_parent: jax.Array, s: jax.Array,
@@ -320,13 +424,29 @@ def l2l(t: FmmTables, Lt_parent: jax.Array, s: jax.Array,
     """Recenter locals from parent to child: [B,S_Lt],[B,dim],[B] -> [B,S_Lt].
 
     s = (x_child - x_parent)/lam_parent ; rho = lam_child/lam_parent.
-    """
+    Static-column sparse form (see :func:`m2m`)."""
     Lf = expand_L(t, Lt_parent)
-    Vs = eval_monomials_L(t, s)
-    W = _j(t.l2l_W, Lf.dtype).reshape(t.S_Lf, -1)
-    K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_Lt, t.S_Lf)
-    out = jnp.sum(K * Lf[:, None, :], axis=2)
-    return out * (rho[:, None] ** _j(t.nt_order, Lf.dtype)[None, :])
+    if t.p > SPARSE_P_MAX:
+        Vs = eval_monomials_L(t, s)
+        W = _j(t.l2l_W, Lf.dtype).reshape(t.S_Lf, -1)
+        K = jnp.matmul(Vs, W, precision=PREC).reshape(-1, t.S_Lt, t.S_Lf)
+        out = jnp.sum(K * Lf[:, None, :], axis=2)
+        return out * (rho[:, None] ** _j(t.nt_order, Lf.dtype)[None, :])
+    terms = _l2l_terms(t.dim, t.p)
+    Vcols = eval_monomial_cols(s, t.PL, t.dim)
+    rp = _pow_cols(rho, t.PL)
+    nt_ord = t.nt_order
+    Lcols = [Lf[:, j] for j in range(t.S_Lf)]
+    cols = []
+    for i, row in enumerate(terms):
+        acc = None
+        for (j, h, c) in row:
+            term = (c * Lcols[j]) * Vcols[h]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros(Lf.shape[0], Lf.dtype)
+        cols.append(acc * rp[int(nt_ord[i])])
+    return jnp.stack(cols, axis=1)
 
 
 def l2p_field(t: FmmTables, Lt: jax.Array, w: jax.Array,

@@ -99,35 +99,44 @@ def main():
     ppad0 = flat.reshape(G, C, dim)
     mask3 = pad_mask.reshape(G, C)
 
-    @jax.jit
+    # Every stage jit takes fs (and any other big array) as an ARGUMENT:
+    # a closed-over FmmState bakes fs.m2l_h2 (~1 GB at N=1M) into the
+    # program as a literal, which the remote-compile endpoint cannot digest
+    # (pitfall: captured-constant jit artifacts)
+    mpoles_j = jax.jit(lambda ppad, m3, s: eng._stage_multipoles(ppad, m3, s))
+
     def mpoles(ppad):
-        h = eng._stage_multipoles(ppad, mask3, fs)
+        h = mpoles_j(ppad, mask3, fs)
         return ppad + jnp.mean(h) * 1e-30
     t = test_time_chained(mpoles, ppad0, min_loop=2.0)
     print(f"P2M+M2M          : {t * 1e3:8.2f} ms")
 
-    mh = jax.jit(eng._stage_multipoles)(ppad0, mask3, fs)
+    mh = mpoles_j(ppad0, mask3, fs)
 
-    @jax.jit
+    m2l_j = jax.jit(lambda h, s: eng._stage_m2l(h, s))
+
     def m2l(h):
-        lh = eng._stage_m2l(h, fs)
+        lh = m2l_j(h, fs)
         return h + jnp.mean(lh) * 1e-30
     t = test_time_chained(m2l, mh, min_loop=2.0)
     print(f"M2L              : {t * 1e3:8.2f} ms")
 
-    lh0 = jax.jit(eng._stage_m2l)(mh, fs)
+    lh0 = m2l_j(mh, fs)
 
-    @jax.jit
+    local_j = jax.jit(
+        lambda ppad, m3, lh, s: eng._stage_local(ppad, m3, lh, s))
+
     def local(ppad):
-        f = eng._stage_local(ppad, mask3, lh0, fs)
+        f = local_j(ppad, mask3, lh0, fs)
         return ppad + f * 1e-30
     t = test_time_chained(local, ppad0, min_loop=2.0)
     print(f"L2L+L2P          : {t * 1e3:8.2f} ms")
 
-    @jax.jit
+    p2p_j = jax.jit(lambda ppad, s: eng._stage_p2p(ppad, s))
+
     def p2p(ppad):
-        f = eng._stage_p2p(ppad, fs)
-        return ppad + f * 1e-30
+        f = p2p_j(ppad, fs)
+        return ppad + f.reshape(ppad.shape) * 1e-30
     t = test_time_chained(p2p, ppad0, min_loop=3.0)
     # tile lane-interactions: each (sub-leaf, block) tile is C x C_blk
     q = int(np.sum(np.asarray(fs.p2p_valid)))
