@@ -5,6 +5,8 @@ for displacement d = p_i - p_j and dist2 = |d|^2 + eps2,
 
     2D:  a_i += d / dist2            (log potential)
     3D:  a_i += d / dist2^(3/2)      (1/r potential)
+    4D:  a_i += d / dist2^2          (1/r^2 potential; jnp paths only —
+                                      direct.cuh:32-35)
 
 and the result is scaled by kappa = xi/N (param[0], direct.cuh:59-61).
 The j == i self term contributes exactly 0 (d = 0), as in the reference.
@@ -33,12 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pair_weight(dist2: jax.Array, dim: int) -> jax.Array:
-    """w(d) such that the force contribution is d * w (direct.cuh:23-35)."""
+    """w(d) such that the force contribution is d * w (direct.cuh:23-35):
+    2D 1/dist2, 3D dist2^(-3/2), 4D 1/dist2^2 (the reference's 4D force
+    profile, direct.cuh:32-35)."""
     inv = 1.0 / dist2
     if dim == 2:
         return inv
     if dim == 3:
         return inv * jax.lax.rsqrt(dist2)
+    if dim == 4:
+        return inv * inv
     raise ValueError(f"unsupported dim {dim}")
 
 

@@ -9,6 +9,8 @@ upload).  Drives the round-2 optimization order.
 
 Run from /root/repo (no PYTHONPATH — it breaks the axon plugin):
     python scripts/profile_force.py [N] [p] [r]
+    python scripts/profile_force.py artifact [N] [p] [r]   # also write
+        docs/breakdown_r03.json (driver-checkable per-stage record)
 """
 
 import sys
@@ -30,9 +32,14 @@ from coulomb_oscillators_tpu.utils.timing import test_time_chained
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    p = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    r = float(sys.argv[3]) if len(sys.argv) > 3 else 1.7
+    argv = sys.argv[1:]
+    artifact = bool(argv) and argv[0] == "artifact"
+    if artifact:
+        argv = argv[1:]
+    n = int(argv[0]) if len(argv) > 0 else 1_000_000
+    p = int(argv[1]) if len(argv) > 1 else 3
+    r = float(argv[2]) if len(argv) > 2 else 1.7
+    record = {}
     cfg = SimConfig(fmm_order=p, tree_radius=r)
     x0 = (0.003, 0.001, 0.01)
     u0 = tuple(w * xs for w, xs in zip(cfg.omega0, x0))
@@ -59,6 +66,7 @@ def main():
         a = eng._force_jit(x, fs)
         return x + a * 1e-30
     t = test_time_chained(full, pos, min_loop=3.0)
+    record["force_full_ms"] = round(t * 1e3, 2)
     print(f"force full       : {t * 1e3:8.2f} ms")
 
     # --- padded production step (what the inter-rebuild scan runs) ---
@@ -76,6 +84,7 @@ def main():
         a = eng._padded_force_jit(x, fs)
         return x + a * 1e-30
     t = test_time_chained(fpad, ppad_prod, min_loop=3.0)
+    record["force_padded_ms"] = round(t * 1e3, 2)
     print(f"force padded     : {t * 1e3:8.2f} ms "
           f"({n / t / 1e6:.2f}M psteps/s equiv)")
 
@@ -88,6 +97,7 @@ def main():
         out = jnp.take(acc_s, fs.inv_perm, axis=0)
         return x + out * 1e-30
     t = test_time_chained(gathers, pos, min_loop=2.0)
+    record["gathers_ms"] = round(t * 1e3, 2)
     print(f"4 gathers only   : {t * 1e3:8.2f} ms")
 
     # --- stage isolation on padded blocks ---
@@ -109,6 +119,7 @@ def main():
         h = mpoles_j(ppad, mask3, fs)
         return ppad + jnp.mean(h) * 1e-30
     t = test_time_chained(mpoles, ppad0, min_loop=2.0)
+    record["p2m_m2m_ms"] = round(t * 1e3, 2)
     print(f"P2M+M2M          : {t * 1e3:8.2f} ms")
 
     mh = mpoles_j(ppad0, mask3, fs)
@@ -119,6 +130,7 @@ def main():
         lh = m2l_j(h, fs)
         return h + jnp.mean(lh) * 1e-30
     t = test_time_chained(m2l, mh, min_loop=2.0)
+    record["m2l_ms"] = round(t * 1e3, 2)
     print(f"M2L              : {t * 1e3:8.2f} ms")
 
     lh0 = m2l_j(mh, fs)
@@ -130,6 +142,7 @@ def main():
         f = local_j(ppad, mask3, lh0, fs)
         return ppad + f * 1e-30
     t = test_time_chained(local, ppad0, min_loop=2.0)
+    record["l2l_l2p_ms"] = round(t * 1e3, 2)
     print(f"L2L+L2P          : {t * 1e3:8.2f} ms")
 
     p2p_j = jax.jit(lambda ppad, s: eng._stage_p2p(ppad, s))
@@ -142,6 +155,10 @@ def main():
     q = int(np.sum(np.asarray(fs.p2p_valid)))
     gint = q * C * eng.C_blk / t / 1e9
     kind = "pallas" if eng.use_pallas else "jnp scan"
+    record["p2p_ms"] = round(t * 1e3, 2)
+    record["p2p_kind"] = kind
+    record["p2p_tiles"] = q
+    record["p2p_G_lane_int_per_s"] = round(gint, 1)
     print(f"P2P ({kind:8s}) : {t * 1e3:8.2f} ms   "
           f"({q} tiles, {gint:.1f} G lane-int/s)")
 
@@ -152,6 +169,24 @@ def main():
         tt = time.perf_counter() - t0
     print(f"rebuild steady   : {tt * 1e3:8.2f} ms  "
           f"breakdown={ {k: round(v * 1e3, 1) for k, v in eng.last_build_times.items()} } (ms)")
+
+    if artifact:
+        import json
+        out = {
+            "metric": "force_eval_stage_breakdown",
+            "config": {"n": n, "p": p, "r": r, "L": eng.L, "C": st.C,
+                       "backend": jax.default_backend()},
+            "stages_ms": record,
+            "rebuild_steady_ms": round(tt * 1e3, 1),
+            "rebuild_breakdown_ms": {k: round(v * 1e3, 1)
+                                     for k, v in eng.last_build_times.items()},
+            "note": "stage jits isolated (P2M+M2M / M2L / L2L+L2P / P2P); "
+                    "sums can exceed force_padded_ms because XLA fuses "
+                    "stages in the production program",
+        }
+        with open("docs/breakdown_r03.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote docs/breakdown_r03.json")
 
 
 if __name__ == "__main__":

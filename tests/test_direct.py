@@ -23,12 +23,14 @@ def _numpy_direct(pos, eps2, kappa, dim):
     dist2 = np.sum(d * d, axis=-1) + eps2
     if dim == 3:
         w = dist2 ** -1.5
+    elif dim == 4:
+        w = dist2 ** -2.0          # 4D profile (direct.cuh:32-35)
     else:
         w = 1.0 / dist2
     return kappa * np.einsum("ij,ijd->id", w, d)
 
 
-@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("dim", [2, 3, 4])
 @pytest.mark.parametrize("n", [17, 256, 1000])
 def test_direct_jnp_matches_numpy_f64(dim, n, rng):
     pos = rng.normal(size=(n, dim)).astype(np.float32) * 0.01
