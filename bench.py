@@ -9,22 +9,29 @@ fastest config whose mean relative force error vs the Kahan-targets direct
 oracle is <= 1e-3 (the reference default bound, main3.cu:236-237).
 
 Reproducibility (round-2 verdict): timing is median-of-5 windows with the
-per-window times and spread reported in `extra`; the kd sort/geometry is
-shared across the autotune grid (the tree does not depend on p or r), so
-the full 42-config grid costs one build + 42 traversals/error probes.
+per-window times and spread reported in `extra`; radii are swept descending
+per order with an early stop at the error bound (force error is monotone
+decreasing in r at fixed p), which prunes the un-winnable configs.
+
+Process isolation (round-3): every expansion order's grid sweep and the
+final headline timing each run in their OWN subprocess.  A long-lived
+process accumulates compiled executables and fragments the ~16 GB HBM
+arena until a p=5 M2L-geometry upload (~3 GB) fails with
+RESOURCE_EXHAUSTED even though the live-array footprint is near zero —
+fresh processes sidestep both, and the persistent XLA disk cache
+(utils/cache.py) makes respawns cheap.  Child phases are invoked as
+`python bench.py gridp <p>` / `python bench.py final <p> <r> <err>` and
+emit machine lines prefixed with `@@`.
 """
 
 import json
+import os
 import statistics
+import subprocess
+import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
-
-enable_compile_cache()
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
 SEARCH_P = [1, 2, 3, 4, 5, 6]
@@ -32,6 +39,8 @@ SEARCH_R = [1.11, 1.25, 1.43, 1.67, 2.0, 2.5, 3.0]
 
 
 def _init_state(n):
+    import numpy as np
+    import jax.numpy as jnp
     from coulomb_oscillators_tpu import ParticleState
     from coulomb_oscillators_tpu.models import init_dist as ID
     from coulomb_oscillators_tpu import SimConfig
@@ -44,36 +53,35 @@ def _init_state(n):
                          jnp.zeros((n, 3), jnp.float32))
 
 
-def _time_steps(sim, state, steps=16, repeats=5):
-    """Median-of-`repeats` window timing (transport stalls on the remote
-    TPU tunnel would otherwise pollute single samples)."""
-    warm = sim.run(state, 2)
-    warm = sim.run(warm, 2)   # second warm-up: compile for scan-layout inputs
-    jax.block_until_ready(warm.pos)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        warm = sim.run(warm, steps)
-        np.asarray(warm.pos[0])
-        times.append((time.perf_counter() - t0) / steps)
-    return times
+# --------------------------------------------------------------------------
+# child phase 1: grid sweep for ONE expansion order
+# --------------------------------------------------------------------------
 
+def grid_for_p(p, n=1_000_000):
+    """Sweep radii DESCENDING at fixed p; print one `@@ {...}` row per
+    config.  Error is monotone decreasing in r at fixed p (opening-angle
+    monotonicity — every measured grid confirms it), so the descent stops
+    once the error clears the bound.  Larger r means a stricter MAC and
+    therefore BIGGER pair lists, so an OOM at some r does not end the
+    order: the engine is recreated (caps reset) and the next smaller
+    radius is tried."""
+    import gc
 
-def autotune(state, n, base):
-    """Reference -accuracy grid search sharing one kd sort/geometry.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
-    Compile economy (this host pays MINUTES per large remote XLA compile):
-    the compiled force program depends on p (tables) and the padded list
-    caps — NOT on r — so for each p all radii are traversed first, the
-    caps are pre-maxed, and the whole r-sweep then reuses ONE compiled
-    program (6 big compiles for the 42-config grid instead of 42)."""
+    from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    from coulomb_oscillators_tpu import SimConfig
     from coulomb_oscillators_tpu.ops import direct as D
     from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
-    from coulomb_oscillators_tpu.ops.fmm.kdtree import _round_cap
     from coulomb_oscillators_tpu.ops.reductions import mean_rel_err
     from coulomb_oscillators_tpu.utils.timing import test_time_chained
     from coulomb_oscillators_tpu import native as conative
 
+    base = SimConfig()
+    state = _init_state(n)
     sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048, replace=False))
     # Kahan-targets oracle (direct3 semantics): the plain f32 direct kernel
     # has ~2e-3 of its own accumulation noise at N=1M
@@ -81,87 +89,137 @@ def autotune(state, n, base):
                                      base.eps2, base.kappa(n))
     jax.block_until_ready(acc_ref)
 
-    # shared tree: the kd permutation/geometry depend only on (n, L)
-    geo_cache = {}
+    def fresh_engine():
+        return KdFmmEngine(base.replace(fmm_order=p, tree_radius=SEARCH_R[-1]),
+                           n)
 
-    def shared_geo(eng, pos):
-        key = eng.L
-        if key not in geo_cache:
-            pos_h = np.asarray(pos, dtype=np.float32)
-            perm = conative.kdtree_build(pos_h, eng.L)
-            pos_s = pos_h[perm]
-            geom = conative.node_geometry(pos_s, eng.L)
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(n, dtype=perm.dtype)
-            geo_cache[key] = (perm, inv, geom)
-        return geo_cache[key]
+    eng = fresh_engine()
+    pos_h = np.asarray(state.pos, dtype=np.float32)
+    perm = conative.kdtree_build(pos_h, eng.L)
+    pos_s = pos_h[perm]
+    c_h, lb_h, rb_h, lam_h = conative.node_geometry(pos_s, eng.L)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n, dtype=perm.dtype)
 
-    best = None
-    tried = []
-    for p in SEARCH_P:
-        eng = KdFmmEngine(base.replace(fmm_order=p, tree_radius=SEARCH_R[0]),
-                          n)
-        perm, inv, (c_h, lb_h, rb_h, lam_h) = shared_geo(eng, state.pos)
-        # pre-pass: traverse every radius, pre-max the caps so the whole
-        # r-sweep shares one compiled program
-        lists = {}
-        for r in SEARCH_R:
-            eng.config = base.replace(fmm_order=p, tree_radius=r)
-            lists[r] = eng._traverse(c_h, lb_h, rb_h)
-        eng.caps["m2l"] = _round_cap(
-            max(m.shape[0] for m, _ in lists.values()), eng.m2l_chunk, 1.08)
-        eng.caps["p2p"] = _round_cap(
-            max(q.shape[0] for _, q in lists.values()), 8192, 1.25)
-        dmax = 1
-        for _, q in lists.values():
-            if q.shape[0]:
-                deg = int(np.bincount(q[:, 0].astype(np.int64)).max())
-                dmax = max(dmax, deg)
-        eng.caps["dmax"] = -(-max(128, dmax) // 128) * 128
-        for r in SEARCH_R:
-            eng.config = base.replace(fmm_order=p, tree_radius=r)
-            m2l, p2p = lists[r]
+    over_bound = 0
+    for r in reversed(SEARCH_R):
+        eng.config = base.replace(fmm_order=p, tree_radius=r)
+        m2l, p2p = eng._traverse(c_h, lb_h, rb_h)
+        fs = None
+        try:
             fs = eng._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p, {})
             err = float(mean_rel_err(eng.force(state.pos, fs)[sub], acc_ref))
-            row = {"p": p, "r": r, "err": err}
-            if err < ERR_BOUND:
-                def fpad(x, eng=eng, fs=fs):
-                    return x + eng._force_jit(x, fs) * 1e-30
-                t = test_time_chained(fpad, state.pos, min_loop=1.5)
-                row["force_s"] = round(t, 4)
-                if best is None or t < best["force_s"]:
-                    best = {"p": p, "r": r, "err": err, "force_s": t}
-            tried.append(row)
-            print(f"# p={p} r={r} err={err:.2e}"
-                  + (f" t={row.get('force_s')}" if "force_s" in row else ""),
-                  flush=True)
-    return best, tried
+        except Exception as e:  # noqa: BLE001 — only HBM exhaustion
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print("@@ " + json.dumps({"p": p, "r": r, "err": None,
+                                      "oom": True}), flush=True)
+            del fs, eng
+            gc.collect()
+            eng = fresh_engine()   # reset caps to the smaller next radius
+            continue
+        row = {"p": p, "r": r, "err": err}
+        if err < ERR_BOUND:
+            def fpad(x, eng=eng, fs=fs):
+                return x + eng._force_jit(x, fs) * 1e-30
+            t = test_time_chained(fpad, state.pos, min_loop=1.5)
+            row["force_s"] = round(t, 4)
+        print("@@ " + json.dumps(row), flush=True)
+        del fs
+        gc.collect()
+        if err >= ERR_BOUND:
+            # monotone in r; allow one extra probe near the bound in case
+            # of f32 noise, then stop the descent
+            over_bound += 1
+            if err >= 2 * ERR_BOUND or over_bound >= 2:
+                break
 
 
-def main():
+# --------------------------------------------------------------------------
+# child phase 2: headline timing for the winning config
+# --------------------------------------------------------------------------
+
+def final_timing(p, r, err, n=1_000_000):
+    import numpy as np
+    import jax
+
+    from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from coulomb_oscillators_tpu import SimConfig
     from coulomb_oscillators_tpu.simulate import Simulator
 
-    n = 1_000_000
+    config = SimConfig().replace(fmm_order=p, tree_radius=r)
     state = _init_state(n)
-    base = SimConfig()
+    sim = Simulator(config, n, engine="fmm3_kd")
+    state = sim.init_acc(state)
+    # two warm-ups: first compiles for init_acc-layout inputs, second for
+    # scan-output-layout inputs (the steady state)
+    state = sim.run(state, 2)
+    state = sim.run(state, 2)
+    jax.block_until_ready(state.pos)
+    steps, repeats = 16, 5
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = sim.run(state, steps)
+        np.asarray(state.pos[0])   # chained sync (transport-stall safe)
+        times.append((time.perf_counter() - t0) / steps)
+    print("@@ " + json.dumps({"times": times}), flush=True)
 
-    best, tried = autotune(state, n, base)
+
+# --------------------------------------------------------------------------
+# parent: orchestrate one subprocess per phase (fresh HBM arena each)
+# --------------------------------------------------------------------------
+
+def _run_child(args):
+    """Run a child phase, stream its output, return parsed @@ rows."""
+    proc = subprocess.Popen([sys.executable, os.path.join(REPO, "bench.py")]
+                            + [str(a) for a in args],
+                            cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    rows = []
+    for line in proc.stdout:
+        line = line.rstrip("\n")
+        if line.startswith("@@ "):
+            rows.append(json.loads(line[3:]))
+            print("# " + line[3:], flush=True)
+        elif line:
+            print("## " + line, flush=True)
+    proc.wait()
+    return rows, proc.returncode
+
+
+def main():
+    tried = []
+    best = None
+    for p in SEARCH_P:
+        rows, rc = _run_child(["gridp", p])
+        if rc != 0:
+            print(f"## gridp {p} exited {rc}", flush=True)
+        tried.extend(rows)
+        for row in rows:
+            if "force_s" in row and (best is None
+                                     or row["force_s"] < best["force_s"]):
+                best = row
     if best is None:
         print(json.dumps({"metric": "error", "value": -1,
                           "unit": "autotune_failed", "vs_baseline": None}))
         return
 
-    config = base.replace(fmm_order=best["p"], tree_radius=best["r"])
-    sim = Simulator(config, n, engine="fmm3_kd")
-    state = sim.init_acc(state)
-    times = _time_steps(sim, state, steps=16, repeats=5)
+    rows, rc = _run_child(["final", best["p"], best["r"], best["err"]])
+    times = rows[-1]["times"] if rows else []
+    if not times:
+        print(json.dumps({"metric": "error", "value": -1,
+                          "unit": "final_timing_failed",
+                          "vs_baseline": None}))
+        return
     med = statistics.median(times)
-    value = n / med
-
+    n = 1_000_000
+    from coulomb_oscillators_tpu import SimConfig  # no device client needed
+    cfg = SimConfig()
     out = {
         "metric": "particle_steps_per_s",
-        "value": round(value, 0),
+        "value": round(n / med, 0),
         "unit": "psteps/s",
         "vs_baseline": None,   # reference publishes no numbers (BASELINE.md)
         "extra": {
@@ -170,8 +228,7 @@ def main():
             "err_bound": ERR_BOUND,
             "sec_per_step_median": round(med, 4),
             "sec_per_step_all": [round(t, 4) for t in times],
-            "tree_steps": config.tree_steps,
-            "integrator": config.integrator,
+            "tree_steps": cfg.tree_steps, "integrator": cfg.integrator,
             "autotune_grid": tried,
         },
     }
@@ -179,4 +236,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "gridp":
+        grid_for_p(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "final":
+        final_timing(int(sys.argv[2]), float(sys.argv[3]),
+                     float(sys.argv[4]))
+    else:
+        main()

@@ -423,11 +423,18 @@ class KdFmmEngine:
 
         @jax.jit
         def m2l_geo(center, lam, m2l_t, m2l_s, m2l_v):
+            # component-wise 1D gathers: a [Km, dim] gather output is laid
+            # out in (8, 128) tiles, padding the dim lane axis 42x — at
+            # p=6/r=3 caps that alone is a 6.5 GB HLO temp and the geo
+            # program OOMs at compile time; [Km] vectors stay lane-dense
             Mheap = _heap_off(self.L + 1)
             a_cl = jnp.minimum(m2l_t, Mheap - 1)
-            R = jnp.take(center, a_cl, axis=0) - \
-                jnp.take(center, m2l_s, axis=0)
-            R = jnp.where(m2l_v[:, None], R, jnp.ones_like(R))
+            R = tuple(
+                jnp.where(m2l_v,
+                          jnp.take(center[:, d], a_cl)
+                          - jnp.take(center[:, d], m2l_s),
+                          jnp.float32(1.0))
+                for d in range(center.shape[1]))
             la = jnp.take(lam, a_cl, axis=0)
             lb = jnp.take(lam, m2l_s, axis=0)
             return mop.m2l_fold_geo(self.tables, R, la, lb)

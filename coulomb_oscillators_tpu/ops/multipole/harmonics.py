@@ -133,7 +133,13 @@ def numerator_matrix(max_order: int, dim: int) -> np.ndarray:
 
 
 def eval_monomials(u, max_order: int, dim: int):
-    """Monomials of u [B, dim] over the sym_layout: V [B, S].
+    """Monomials of u over the sym_layout: V [B, S].
+
+    `u` is either a [B, dim] array or a tuple/list of dim [B] component
+    vectors.  The component form matters at large B: a materialized
+    [B, dim] buffer is laid out in (8, 128) tiles on TPU, padding the
+    dim=3 lane axis 42x (a 13M-entry M2L geometry buffer inflates 156 MB
+    -> 6.5 GB of HLO temp), while [B] vectors stay lane-dense.
 
     Built from per-axis power columns with STATIC slicing (the exponents
     are compile-time constants), not fancy-index gathers — TPU row gathers
@@ -141,13 +147,18 @@ def eval_monomials(u, max_order: int, dim: int):
     products fuse into a handful of VPU multiplies."""
     import jax.numpy as jnp
 
+    if isinstance(u, (tuple, list)):
+        comps = list(u)
+    else:
+        comps = [u[:, a] for a in range(dim)]
     exps = pk.monomial_exponents(max_order, dim)  # [S, dim]
-    B = u.shape[0]
+    B = comps[0].shape[0]
+    dtype = comps[0].dtype
     pows = []                                      # per axis: [B, order+1]
     for axis in range(dim):
         base = jnp.concatenate(
-            [jnp.ones((B, 1), u.dtype),
-             jnp.repeat(u[:, axis:axis + 1], max_order, axis=1)], axis=1)
+            [jnp.ones((B, 1), dtype),
+             jnp.repeat(comps[axis][:, None], max_order, axis=1)], axis=1)
         pows.append(jnp.cumprod(base, axis=1))
     cols = []
     for s in range(exps.shape[0]):
@@ -161,11 +172,12 @@ def eval_monomials(u, max_order: int, dim: int):
 
 
 def eval_H(u, max_order: int, dim: int):
-    """H entries for a batch of unit vectors u [B, dim]: [B, S_H]."""
+    """H entries for a batch of unit vectors: [B, S_H].  `u` is [B, dim]
+    or a tuple of dim [B] components (see eval_monomials)."""
     import jax
     import jax.numpy as jnp
 
     V = eval_monomials(u, max_order, dim)
-    coef = jnp.asarray(numerator_matrix(max_order, dim), dtype=u.dtype)
+    coef = jnp.asarray(numerator_matrix(max_order, dim), dtype=V.dtype)
     # HIGHEST: TPU would otherwise multiply in bf16 (see operators.PREC)
     return jnp.matmul(V, coef, precision=jax.lax.Precision.HIGHEST)

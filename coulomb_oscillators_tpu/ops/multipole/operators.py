@@ -129,9 +129,15 @@ def m2l_fold_geo(t: FmmTables, R: jax.Array, lam_tgt: jax.Array,
       logc[b]  = -log r - 1 (2D monopole correction; unused slot in 3D)
     such that L[b, i] = sum_j coef[i,j] * M[b,j] * w^m_j * H2[b, idx[i,j]]
     (+ M[:,0]*logc in slot 0 for 2D) — see m2l_sparse_pre.
+
+    `R` is a [B, dim] array or a tuple of dim [B] component vectors; at
+    the multi-million-entry M2L list sizes the component form avoids
+    42x-padded [B, dim] HLO temps (see harmonics.eval_monomials).
     """
-    r = jnp.linalg.norm(R, axis=-1)
-    Rh = R / r[:, None]
+    if not isinstance(R, (tuple, list)):
+        R = tuple(R[:, d] for d in range(t.dim))
+    r = jnp.sqrt(sum(rd * rd for rd in R))
+    Rh = tuple(rd / r for rd in R)
     H = hm.eval_H(Rh, t.maxH, t.dim)
     u = lam_tgt / r
     v = lam_src / r
