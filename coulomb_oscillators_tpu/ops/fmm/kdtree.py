@@ -656,11 +656,34 @@ class KdFmmEngine:
         (fmm_cart3_kdtree.cuh:1619: lists are reused unrefreshed for
         tree_steps iterations)."""
         import time as _time
-        from coulomb_oscillators_tpu import native as conative
         bt = {}
         t0 = _time.perf_counter()
         pos_h = np.asarray(pos, dtype=np.float32)
+        bt["fetch"] = _time.perf_counter() - t0
+        return self._build_host_from(pos_h, bt)
+
+    def build_host_padded(self, ppad, inv_perm_old):
+        """:meth:`build_host` fed from the PADDED device state: the fetch
+        and the unpadding both happen here (background thread), so a window
+        boundary never pays a device unpad for the builder's sake.
+        inv_perm_old: device or host [n] inverse permutation of the layout
+        `ppad` is padded under."""
+        import time as _time
+        bt = {}
+        t0 = _time.perf_counter()
+        flat = np.asarray(ppad, dtype=np.float32).reshape(-1, self.dim)
+        inv_h = np.asarray(inv_perm_old)
         bt["fetch"] = _time.perf_counter() - t0; t0 = _time.perf_counter()
+        # original order: particle o sits at sorted slot inv[o], padded slot
+        # unpad_gather[inv[o]]
+        pos_h = flat[self.st.unpad_gather[inv_h]]
+        bt["unpad_host"] = _time.perf_counter() - t0
+        return self._build_host_from(pos_h, bt)
+
+    def _build_host_from(self, pos_h, bt):
+        import time as _time
+        from coulomb_oscillators_tpu import native as conative
+        t0 = _time.perf_counter()
         perm = conative.kdtree_build(pos_h, self.L)
         inv = np.empty_like(perm)
         inv[perm] = np.arange(self.n, dtype=perm.dtype)
@@ -877,6 +900,49 @@ class KdFmmEngine:
     def mask3(self) -> jax.Array:
         """[G, C] validity of padded slots (static)."""
         return jnp.asarray(self.st.pad_mask).reshape(1 << self.L, self.st.C)
+
+    # ---------------- padded-layout remap (async rebuild adoption) -------
+    # Re-sorting used to cost unpad (2 N-gathers x 3 arrays) + pad (2 more)
+    # per window boundary — ~0.85 s at N=1M, 4x the amortized rebuild
+    # itself.  The composition old-padded-slot <- new-padded-slot is a
+    # single static-shape gather per array.
+
+    @property
+    def _repad_jit(self):
+        fn = getattr(self, "_repad_cached", None)
+        if fn is None:
+            st = self.st
+            G, C, dim = 1 << self.L, st.C, self.dim
+            pad_g = jnp.asarray(st.pad_gather)      # [G*C] -> sorted slot
+            unpad_g = jnp.asarray(st.unpad_gather)  # [n] -> padded slot
+            maskf = jnp.asarray(st.pad_mask)[:, None]
+
+            @jax.jit
+            def compose(inv_old, perm_new):
+                # new padded slot i -> old padded slot:
+                #   orig particle o = perm_new[pad_gather[i]]
+                #   old sorted slot s0 = inv_old[o]; old padded = unpad[s0]
+                o = jnp.take(perm_new, pad_g)
+                return jnp.take(unpad_g, jnp.take(inv_old, o))
+
+            @jax.jit
+            def repad(ppos, pvel, pacc, remap):
+                def g(x, fill):
+                    flat = jnp.take(x.reshape(G * C, dim), remap, axis=0)
+                    return jnp.where(maskf, flat,
+                                     x.dtype.type(fill)).reshape(G, C, dim)
+                return g(ppos, FAR), g(pvel, 0.0), g(pacc, 0.0)
+
+            fn = self._repad_cached = (compose, repad)
+        return fn
+
+    def make_repad(self, fs_old: FmmState, fs_new: FmmState) -> jax.Array:
+        """[G*C] gather map: new padded slot -> old padded slot (device)."""
+        return self._repad_jit[0](fs_old.inv_perm, fs_new.perm)
+
+    def repad_triple(self, ppos, pvel, pacc, remap):
+        """Apply a :meth:`make_repad` map to the padded (pos, vel, acc)."""
+        return self._repad_jit[1](ppos, pvel, pacc, remap)
 
     def force_padded_in_jit(self, ppad: jax.Array, fs: FmmState) -> jax.Array:
         """Coulomb acceleration on padded blocks [G, C, dim] (kappa-scaled).

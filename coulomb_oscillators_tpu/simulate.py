@@ -243,7 +243,6 @@ class Simulator:
             lambda p=cur.pos: eng.adopt(eng.build_host(p)))
 
     def _run_padded(self, state: ParticleState, steps: int) -> ParticleState:
-        ts = max(self.config.tree_steps, 1)
         # a state we did not hand out (or a cold start) must enter padded form
         if (self._padded is None or self._fstate is None
                 or state is not self._last_out):
@@ -251,6 +250,20 @@ class Simulator:
             self._fstate = self._fmm.build(state.pos)
             self._steps_since_build = 0
             self._padded = self._pad_state(state)
+        self.advance_padded(steps)
+        return self.current_state()
+
+    def advance_padded(self, steps: int):
+        """Advance on the padded fast path WITHOUT materializing the
+        unpadded state at the end (the benchmark hot loop — a full unpad is
+        3 N-row gather programs, ~0.4 s at N=1M).  Requires an active
+        padded run (init_acc + run established it).  Returns the padded
+        position array as a synchronization handle; use
+        :meth:`current_state` to get the unpadded state."""
+        if self._padded is None or self._fstate is None:
+            raise RuntimeError("advance_padded requires an active padded "
+                               "run (call init_acc + run first)")
+        ts = max(self.config.tree_steps, 1)
         done = 0
         while done < steps:
             if self._steps_since_build >= ts:
@@ -260,6 +273,11 @@ class Simulator:
             self._padded = self._scan_step(self._padded, self._fstate, k)
             self._steps_since_build += k
             done += k
+        self._last_out = None     # handed-out states are now stale
+        return self._padded.pos
+
+    def current_state(self) -> ParticleState:
+        """Unpad and return the current state (resumable via run())."""
         out = self._unpad_state(self._padded)
         self._last_out = out
         return out
@@ -269,39 +287,64 @@ class Simulator:
 
         Async mode (config.tree_async): adopt the FULL rebuild (kd sort,
         geometry, MAC traversal, lists) the background thread computed from
-        last window's positions — adoption costs only the list upload —
-        then kick off the next background rebuild from the current
-        positions.  The adopted tree is one window stale: the same
-        within-window freezing the reference accepts when reusing lists
-        across tree_steps iterations (fmm_cart3_kdtree.cuh:1619-1642).
-        Sync mode: the reference's blocking rebuild.
+        last window's positions — then kick off the next background rebuild.
+        The adopted tree is one window stale: the same within-window
+        freezing the reference accepts when reusing lists across tree_steps
+        iterations (fmm_cart3_kdtree.cuh:1619-1642).
+
+        The padded state never leaves padded form: adoption applies a
+        composed old-layout -> new-layout gather (KdFmmEngine.repad_triple,
+        one gather per array) instead of unpad + repad (4 N-row gathers per
+        array); the builder fetches and unpads the positions itself in the
+        background thread (build_host_padded).  Sync mode: the reference's
+        blocking rebuild.
         """
         from coulomb_oscillators_tpu import native as conative
         eng = self._fmm
         use_device = (self.config.tree_async_build == "device"
                       and hasattr(eng, "build_device_async"))
-        can_async = self.config.tree_async and (
-            use_device or (hasattr(eng, "build_host")
-                           and conative.get_lib() is not None))
+        have_host = (hasattr(eng, "build_host_padded")
+                     and conative.get_lib() is not None)
+        can_async = self.config.tree_async and (use_device or have_host)
         if not can_async:
             cur = self._unpad_state(self._padded)
             self._fstate = eng.build(cur.pos)
             self._padded = self._pad_state(cur)
             return
 
-        cur = self._unpad_state(self._padded)
+        if use_device:
+            # device-Morton builder: the job sorts on device from the
+            # original-order positions (unpad here, repad after)
+            cur = self._unpad_state(self._padded)
+            if self._pending is not None:
+                self._fstate = self._pending.result()
+                self._padded = self._pad_state(cur)
+            else:
+                self._fstate = eng.refresh(self._padded.pos, self._fstate)
+            self._pending = self._executor().submit(
+                lambda p=cur.pos: eng.adopt(eng.build_device_async(p)))
+            return
+
         if self._pending is not None:
-            self._fstate = self._pending.result()
-            self._padded = self._pad_state(cur)
+            fs_new, remap = self._pending.result()
+            self._padded = ParticleState(*eng.repad_triple(
+                self._padded.pos, self._padded.vel, self._padded.acc,
+                remap))
+            self._fstate = fs_new
         else:
             # pipeline priming: exact geometry/list refresh on the current
-            # permutation (bounds are exact; only leaf tightness is stale)
+            # permutation (bounds are exact; only leaf tightness is stale;
+            # the padded layout is untouched)
             self._fstate = eng.refresh(self._padded.pos, self._fstate)
-        # the worker also performs the adoption uploads (JAX dispatch is
-        # thread-safe), so the window boundary costs only repadding
-        builder = eng.build_device_async if use_device else eng.build_host
-        self._pending = self._executor().submit(
-            lambda p=cur.pos: eng.adopt(builder(p)))
+        fs_old = self._fstate
+        ppad = self._padded.pos
+
+        def job(ppad=ppad, fs_old=fs_old):
+            fs_new = eng.adopt(eng.build_host_padded(ppad,
+                                                     fs_old.inv_perm))
+            return fs_new, eng.make_repad(fs_old, fs_new)
+
+        self._pending = self._executor().submit(job)
 
     def _executor(self):
         if self._pool is None:

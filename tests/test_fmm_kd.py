@@ -104,6 +104,28 @@ def test_simulator_fmm_energy(beam):
     assert np.isfinite(drift) and drift < 1e-3, drift
 
 
+def test_async_repad_matches_sync_rebuild(beam):
+    """The async pipeline's padded-layout remap adoption (repad_triple)
+    must track the synchronous-rebuild trajectory across several rebuild
+    windows.  Trees differ by one window of staleness, so forces differ at
+    the MAC-error level — positions stay equal to ~f32 scale."""
+    from coulomb_oscillators_tpu.simulate import Simulator
+
+    pos, vel = beam
+    traj = {}
+    for tag, asyncf in (("sync", False), ("async", True)):
+        cfg = SimConfig(fmm_order=4, tree_radius=2.0, dt=5e-4,
+                        tree_steps=4, tree_async=asyncf)
+        sim = Simulator(cfg, N, engine="fmm3_kd")
+        st = sim.init_acc(ParticleState(pos, vel, jnp.zeros_like(pos)))
+        st = sim.run(st, 14)          # 3 rebuild boundaries
+        traj[tag] = np.asarray(st.pos)
+    scale = np.abs(traj["sync"]).mean()
+    delta = np.abs(traj["async"] - traj["sync"]).mean() / scale
+    # measured 2.3e-9 (round 3); trees one window stale -> tiny force delta
+    assert delta < 1e-7, delta
+
+
 def test_fmm_potential_vs_direct(beam):
     pos, _ = beam
     cfg = SimConfig(fmm_order=5, tree_radius=2.5)
