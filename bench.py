@@ -43,6 +43,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 ERR_BOUND = 1e-3           # reference default (main3.cu:236-237)
 SEARCH_P = [1, 2, 3, 4, 5, 6]
 SEARCH_R = [1.11, 1.25, 1.43, 1.67, 2.0, 2.5, 3.0]
+# third grid axis (TPU-native, no reference analogue): the sub-block MAC
+# acceptance-radius boost.  Lower boost = looser sub-leaf MAC = much less
+# near-field work but more error (err falls ~boost^(p+1)); descending from
+# the accuracy-safe default stops at the first over-bound value.  The
+# compiled force program is boost-independent (same caps/shapes), so the
+# extra probes cost traversals + error evals, not compiles.
+SEARCH_BOOST = [1.5, 1.3, 1.15, 1.0]
 
 
 def _init_state(n):
@@ -121,50 +128,62 @@ def grid_for_p(p, n=1_000_000, r_skip=0):
     over_bound = 0
     for r in list(reversed(SEARCH_R))[r_skip:]:
         eng.config = base.replace(fmm_order=p, tree_radius=r)
-        t0 = _time.perf_counter()
-        m2l, p2p = eng._traverse(c_h, lb_h, rb_h)
-        t_trav = _time.perf_counter() - t0
-        fs = None
-        try:
-            fs = eng._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p, {})
-            err = float(mean_rel_err(eng.force(state.pos, fs)[sub], acc_ref))
-        except Exception as e:  # noqa: BLE001 — only HBM exhaustion
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            print("@@ " + json.dumps({"p": p, "r": r, "err": None,
-                                      "oom": True}), flush=True)
-            sys.exit(17)     # arena is wedged; parent respawns at next r
-        row = {"p": p, "r": r, "err": err}
-        if err < ERR_BOUND:
-            # time the PADDED force program — the one the production scan
-            # dispatches per step (the 3-program force() path adds pad/unpad
-            # dispatch overhead the scan never pays)
-            ppad = eng._pad_jit(state.pos, fs)
-
-            def fpad(x, eng=eng, fs=fs):
-                return x + eng._padded_force_jit(x, fs) * 1e-30
-            t = test_time_chained(fpad, ppad, min_loop=1.5)
-            row["force_s"] = round(t, 4)
-            # steady-state rebuild cost: SEEDED re-traversal (the first
-            # traversal at a fresh radius re-runs itself O(log) times while
-            # doubling its output caps — production rebuilds carry counts
-            # across windows and run single-pass) + list prep + uploads
-            jax.block_until_ready(fs.m2l_h2)
+        first_err = None
+        boosts = SEARCH_BOOST if eng.sub_depth else [1.0]
+        for b in boosts:
+            eng.mac_sub_boost = b if eng.sub_depth else 1.0
             t0 = _time.perf_counter()
-            m2l2, p2p2 = eng._traverse(c_h, lb_h, rb_h)
-            fs2 = eng._lists_to_state(perm, inv, c_h, lam_h, m2l2, p2p2, {})
-            jax.block_until_ready(fs2.m2l_h2)
-            row["rebuild_s"] = round(_time.perf_counter() - t0, 4)
-            row["first_traverse_s"] = round(t_trav, 4)
-            del fs2, m2l2, p2p2
-        print("@@ " + json.dumps(row), flush=True)
-        del fs
-        gc.collect()
-        if err >= ERR_BOUND:
+            m2l, p2p = eng._traverse(c_h, lb_h, rb_h)
+            t_trav = _time.perf_counter() - t0
+            fs = None
+            try:
+                fs = eng._lists_to_state(perm, inv, c_h, lam_h, m2l, p2p, {})
+                err = float(mean_rel_err(eng.force(state.pos, fs)[sub],
+                                         acc_ref))
+            except Exception as e:  # noqa: BLE001 — only HBM exhaustion
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                print("@@ " + json.dumps({"p": p, "r": r, "boost": b,
+                                          "err": None, "oom": True}),
+                      flush=True)
+                sys.exit(17)  # arena is wedged; parent respawns at next r
+            if first_err is None:
+                first_err = err
+            row = {"p": p, "r": r, "boost": b, "err": err}
+            if err < ERR_BOUND:
+                # time the PADDED force program — the one the production
+                # scan dispatches per step (the 3-program force() path adds
+                # pad/unpad dispatch overhead the scan never pays)
+                ppad = eng._pad_jit(state.pos, fs)
+
+                def fpad(x, eng=eng, fs=fs):
+                    return x + eng._padded_force_jit(x, fs) * 1e-30
+                t = test_time_chained(fpad, ppad, min_loop=1.5)
+                row["force_s"] = round(t, 4)
+                # steady-state rebuild cost: SEEDED re-traversal (the first
+                # traversal at a fresh radius re-runs itself O(log) times
+                # while doubling its output caps — production rebuilds carry
+                # counts across windows and run single-pass) + list prep +
+                # uploads
+                jax.block_until_ready(fs.m2l_h2)
+                t0 = _time.perf_counter()
+                m2l2, p2p2 = eng._traverse(c_h, lb_h, rb_h)
+                fs2 = eng._lists_to_state(perm, inv, c_h, lam_h,
+                                          m2l2, p2p2, {})
+                jax.block_until_ready(fs2.m2l_h2)
+                row["rebuild_s"] = round(_time.perf_counter() - t0, 4)
+                row["first_traverse_s"] = round(t_trav, 4)
+                del fs2, m2l2, p2p2
+            print("@@ " + json.dumps(row), flush=True)
+            del fs
+            gc.collect()
+            if err >= ERR_BOUND:
+                break  # boost descent only loosens further
+        if first_err >= ERR_BOUND:
             # monotone in r; allow one extra probe near the bound in case
             # of f32 noise, then stop the descent
             over_bound += 1
-            if err >= 2 * ERR_BOUND or over_bound >= 2:
+            if first_err >= 2 * ERR_BOUND or over_bound >= 2:
                 break
 
 
@@ -172,10 +191,12 @@ def grid_for_p(p, n=1_000_000, r_skip=0):
 # child phase 2: headline timing for the winning config
 # --------------------------------------------------------------------------
 
-def final_timing(p, r, err, n=1_000_000, early_stop_s=0.0):
+def final_timing(p, r, err, n=1_000_000, early_stop_s=0.0, boost=None):
     """Production timing (padded scan, async rebuilds amortized over
     tree_steps).  If early_stop_s > 0 and after >= 2 windows even the BEST
     window is slower than it, this candidate cannot win — stop."""
+    if boost is not None:
+        os.environ["CO_SUB_BOOST"] = str(boost)
     import numpy as np
     import jax
 
@@ -267,7 +288,7 @@ def main():
     for cand in passing[:3]:
         early = 1.5 * best["median"] if best else 0.0
         rows, rc = _run_child(["final", cand["p"], cand["r"], cand["err"],
-                               early])
+                               early, cand.get("boost", 1.5)])
         times = rows[-1]["times"] if rows else []
         if not times:
             print(f"## final {cand['p']} {cand['r']} failed rc={rc}",
@@ -275,6 +296,7 @@ def main():
             continue
         med = statistics.median(times)
         entry = {"p": cand["p"], "r": cand["r"], "err": cand["err"],
+                 "boost": cand.get("boost", 1.5),
                  "median": med, "times": [round(t, 4) for t in times],
                  "score_proxy": round(score(cand), 4)}
         finals.append(entry)
@@ -294,6 +316,7 @@ def main():
         "vs_baseline": None,   # reference publishes no numbers (BASELINE.md)
         "extra": {
             "n": n, "p": best["p"], "r": best["r"],
+            "sub_boost": best.get("boost", 1.5),
             "force_rel_err": round(best["err"], 6),
             "err_bound": ERR_BOUND,
             "sec_per_step_median": round(med, 4),
@@ -314,6 +337,7 @@ if __name__ == "__main__":
         final_timing(int(sys.argv[2]), float(sys.argv[3]),
                      float(sys.argv[4]),
                      early_stop_s=float(sys.argv[5])
-                     if len(sys.argv) > 5 else 0.0)
+                     if len(sys.argv) > 5 else 0.0,
+                     boost=float(sys.argv[6]) if len(sys.argv) > 6 else None)
     else:
         main()

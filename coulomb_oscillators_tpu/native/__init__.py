@@ -71,7 +71,8 @@ def get_lib():
     lib.co_traverse.argtypes = [c_f32p, c_f32p, c_f32p, c_i32p,
                                 ctypes.c_int32, ctypes.c_int64,
                                 ctypes.c_int32, ctypes.c_int32,
-                                ctypes.c_float,
+                                ctypes.c_float, ctypes.c_int32,
+                                ctypes.c_int64, ctypes.c_float,
                                 c_i32p, ctypes.c_int64, c_i64p,
                                 c_i32p, ctypes.c_int64, c_i64p]
     lib.co_traverse.restype = ctypes.c_int32
@@ -82,6 +83,7 @@ def get_lib():
         c_f32p, c_f32p, c_f32p, c_i32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32,
         c_i32p, ctypes.c_int64, c_i64p,
         c_i32p, c_i32p, ctypes.c_int64, c_i64p]
     lib.co_traverse_fine.restype = ctypes.c_int32
@@ -139,8 +141,15 @@ def node_geometry(pos_s: np.ndarray, L: int):
 
 
 def traverse_fine(center, lb, rb, mult, L, sub_depth, n, dim, p, radius,
-                  coll, m2l_cap=1 << 20, near_cap=1 << 20):
+                  coll, mult_floor=1, sub_boost=1.0,
+                  m2l_cap=1 << 20, near_cap=1 << 20):
     """Single-pass dual-granularity traversal + device-ready lists.
+
+    mult_floor: MAC multiplicity floor — Mf uses max(mult, mult_floor), so
+    sub-leaf acceptance is never looser than at mult_floor-sized cells.
+    sub_boost: acceptance-radius boost for nodes below the block level
+    (sub-block M2L replaces what block granularity computed exactly, so
+    its per-pair error must be negligible; error falls ~boost^(p+1)).
 
     Returns (m2l [Kd,2] directed target-sorted, near [Q,2] with packed
     source blocks, target-sorted), or None if the native lib is
@@ -161,7 +170,8 @@ def traverse_fine(center, lb, rb, mult, L, sub_depth, n, dim, p, radius,
         rc = lib.co_traverse_fine(
             _ptr(center, ctypes.c_float), _ptr(lb, ctypes.c_float),
             _ptr(rb, ctypes.c_float), _ptr(mult, ctypes.c_int32),
-            L, sub_depth, n, dim, p, radius, int(bool(coll)),
+            L, sub_depth, n, dim, p, radius, int(mult_floor),
+            float(sub_boost), int(bool(coll)),
             _ptr(m2l, ctypes.c_int32), m2l_cap, ctypes.byref(nm),
             _ptr(near_t, ctypes.c_int32), _ptr(near_p, ctypes.c_int32),
             near_cap, ctypes.byref(nq))
@@ -173,11 +183,13 @@ def traverse_fine(center, lb, rb, mult, L, sub_depth, n, dim, p, radius,
         near_cap = max(near_cap * 2, int(nq.value * 1.2))
 
 
-def traverse(center, lb, rb, mult, L, n, dim, p, radius,
+def traverse(center, lb, rb, mult, L, n, dim, p, radius, mult_floor=1,
+             boost_from=None, sub_boost=1.0,
              m2l_cap=1 << 20, p2p_cap=1 << 20):
     """Dual-tree traversal via native code; returns (m2l [K,2], p2p [Q,2])
     with unordered pairs (self pairs in p2p only), or None if the native
-    lib is unavailable."""
+    lib is unavailable.  Nodes at heap index >= boost_from accept with
+    radius*sub_boost (see traverse_fine)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -193,7 +205,9 @@ def traverse(center, lb, rb, mult, L, n, dim, p, radius,
         rc = lib.co_traverse(
             _ptr(center, ctypes.c_float), _ptr(lb, ctypes.c_float),
             _ptr(rb, ctypes.c_float), _ptr(mult, ctypes.c_int32),
-            L, n, dim, p, radius,
+            L, n, dim, p, radius, int(mult_floor),
+            int(boost_from) if boost_from is not None else (1 << 62),
+            float(sub_boost),
             _ptr(m2l, ctypes.c_int32), m2l_cap, ctypes.byref(nm),
             _ptr(p2p, ctypes.c_int32), p2p_cap, ctypes.byref(np_))
         if rc == 0:

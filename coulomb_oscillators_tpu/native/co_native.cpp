@@ -73,7 +73,9 @@ void co_kdtree_build(const float* pos, int32_t* perm, int64_t n, int32_t L,
 // ---------------------------------------------------------------------------
 int32_t co_traverse(const float* center, const float* lb, const float* rb,
                     const int32_t* mult, int32_t L, int64_t n, int32_t dim,
-                    int32_t p, float radius, int32_t* m2l_out,
+                    int32_t p, float radius, int32_t mult_floor,
+                    int64_t boost_from, float sub_boost,
+                    int32_t* m2l_out,
                     int64_t m2l_cap, int64_t* m2l_count, int32_t* p2p_out,
                     int64_t p2p_cap, int64_t* p2p_count) {
   const int64_t leaf0 = (int64_t(1) << L) - 1;
@@ -92,10 +94,22 @@ int32_t co_traverse(const float* center, const float* lb, const float* rb,
   // the pair value (radius*(max mult)^expo)^2 = max of the two node values.
   // Precomputing it hoists std::pow out of the traversal hot loop (the pow
   // dominated at deep refinements: millions of visited pairs).
+  // mult_floor: Mf is floored at mult_floor/n so acceptance below that
+  // granularity is never LOOSER than at mult_floor-sized cells.
+  // boost_from/sub_boost: nodes at heap index >= boost_from (i.e. BELOW
+  // the 128-lane block level) use radius*sub_boost — sub-block M2L
+  // acceptances replace interactions the block-granularity MAC computed
+  // EXACTLY (P2P), so they must carry negligible error; boosting the
+  // acceptance radius by b cuts their per-pair error ~b^(p+1) while still
+  // converting the far corners of near block pairs into M2L (measured:
+  // unboosted sub-leaf MAC costs 4x force error at fixed (p, r); see
+  // KdFmmEngine).
   std::vector<float> pm2(M);
   for (int64_t i = 0; i < M; ++i) {
-    float Mf = std::pow(float(mult[i]) / float(n), expo);
-    pm2[i] = (radius * Mf) * (radius * Mf);
+    float m = float(std::max(mult[i], mult_floor));
+    float Mf = std::pow(m / float(n), expo);
+    float rad = (i >= boost_from) ? radius * sub_boost : radius;
+    pm2[i] = (rad * Mf) * (rad * Mf);
   }
   int64_t nm = 0, np_ = 0;
   std::vector<std::pair<int64_t, int64_t>> stack;
@@ -163,7 +177,9 @@ int32_t co_traverse(const float* center, const float* lb, const float* rb,
 int32_t co_traverse_fine(const float* center, const float* lb,
                          const float* rb, const int32_t* mult, int32_t L,
                          int32_t S, int64_t n, int32_t dim, int32_t p,
-                         float radius, int32_t coll, int32_t* m2l_out,
+                         float radius, int32_t mult_floor, float sub_boost,
+                         int32_t coll,
+                         int32_t* m2l_out,
                          int64_t m2l_cap, int64_t* m2l_count,
                          int32_t* near_t_out, int32_t* near_p_out,
                          int64_t near_cap, int64_t* near_count) {
@@ -183,10 +199,15 @@ int32_t co_traverse_fine(const float* center, const float* lb,
     sz[i] = s;
   }
   const float expo = 1.0f / float(3 * p + 6);
+  // sub-block nodes (below the 128-lane block level) accept with a boosted
+  // radius: see co_traverse on why.
+  const int64_t boost_from = (int64_t(1) << (L - S + 1)) - 1;
   std::vector<float> pm2(M);
   for (int64_t i = 0; i < M; ++i) {
-    float Mf = std::pow(float(mult[i]) / float(n), expo);
-    pm2[i] = (radius * Mf) * (radius * Mf);
+    float m = float(std::max(mult[i], mult_floor));
+    float Mf = std::pow(m / float(n), expo);
+    float rad = (i >= boost_from) ? radius * sub_boost : radius;
+    pm2[i] = (rad * Mf) * (rad * Mf);
   }
   std::vector<std::pair<int32_t, int32_t>> m2l_u;  // unordered admissible
   std::vector<std::pair<int32_t, int32_t>> near_u; // unordered sub-leaf

@@ -43,6 +43,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -261,19 +262,33 @@ def _build_device(pos: jax.Array, n: int, L: int, dim: int):
 
 def _traverse_raw(center: np.ndarray, lb: np.ndarray, rb: np.ndarray,
                   mult: np.ndarray, L: int, n: int, p: int,
-                  radius: float):
+                  radius: float, mult_floor: int = 1,
+                  boost_from: Optional[int] = None, sub_boost: float = 1.0):
     """Vectorized dual-tree traversal (reference :569-611 semantics).
 
     Returns (m2l [K,2] unordered heap pairs, p2p [Q,2] unordered
     LEAF-RELATIVE pairs incl. self pairs) — the same format as the native
     co_traverse.
+
+    mult_floor: Mf uses max(mult, mult_floor), so acceptance below
+    mult_floor-sized cells is never LOOSER than at that granularity (the
+    engine floors at the 128-lane block occupancy; see KdFmmEngine).
+    boost_from/sub_boost: nodes at heap index >= boost_from accept with
+    radius*sub_boost (stricter) — sub-block M2L acceptances replace
+    interactions block granularity computed EXACTLY, so they must carry
+    negligible error (falls ~sub_boost^(p+1)); see KdFmmEngine.
     """
     leaf0 = _heap_off(L)
+    M = center.shape[0]
     sz = np.sum((rb - lb) ** 2, axis=1)                      # squared diagonal
-    mlt_max = mult[leaf0:].max()
-    # Mf uses max(mult_i, mult_j); reference takes node mults — for
-    # vectorization we use the global bound via per-pair mults below.
+    mult = np.maximum(mult, np.int32(mult_floor))
+    # per-node pair value (rad_i * (mult_i/n)^expo)^2; the pair acceptance
+    # takes the max over the two nodes (same as the native pm2 table)
     expo = 1.0 / (3 * p + 6)
+    rad = np.full(M, radius, dtype=np.float64)
+    if boost_from is not None and sub_boost != 1.0:
+        rad[boost_from:] = radius * sub_boost
+    pm2 = (rad * (mult[:M] / float(n)) ** expo) ** 2
 
     frontier = np.array([[0, 0]], dtype=np.int64)
     m2l = []
@@ -282,8 +297,7 @@ def _traverse_raw(center: np.ndarray, lb: np.ndarray, rb: np.ndarray,
         i, j = frontier[:, 0], frontier[:, 1]
         d = center[i] - center[j]
         dist2 = np.sum(d * d, axis=1)
-        Mf = (np.maximum(mult[i], mult[j]) / float(n)) ** expo
-        parM2 = (radius * Mf) ** 2
+        parM2 = np.maximum(pm2[i], pm2[j])
         adm = (parM2 * np.maximum(sz[i], sz[j]) < dist2) & (i != j)
         if np.any(adm):
             m2l.append(frontier[adm])
@@ -395,6 +409,29 @@ class KdFmmEngine:
         # block level: 128-lane near-field tiles live `sub_depth` levels
         # above the sub-leaves the MAC resolves
         self.sub_depth = max(0, min(sub_depth, self.L))
+        # MAC multiplicity floor: Mf = (max(mult, floor)/n)^(1/(3p+6)) keeps
+        # the acceptance bound max(sz)/dist2 at sub-leaf granularity exactly
+        # as strict as at the 128-lane block (reference-leaf) granularity.
+        # Without it the multiplicity-dependent MAC opens ~32-particle cells
+        # much more aggressively at fixed (p, r): north-star energy drift
+        # regressed 4.0e-8 -> 2.5e-6.  The sub-leaf refinement still trims
+        # the near field because smaller cells pass the SAME bound at
+        # shorter distances.
+        self.mac_mult_floor = (-(-n // (1 << (self.L - self.sub_depth)))
+                               if self.sub_depth else 1)
+        # Sub-block acceptance-radius boost: even floored, a sub-leaf M2L
+        # acceptance REPLACES an interaction the block-granularity MAC
+        # computed exactly (P2P), so its per-pair error must be negligible
+        # next to the block-level far field.  Boosting the radius by b for
+        # nodes below the block level cuts that error ~b^(p+1) while keeping
+        # most of the near-field footprint cut (smaller cells still pass the
+        # boosted bound at shorter distances).  Measured at the north-star
+        # config (N=30001, p=6, r=2.5): mean force error 1.21e-5 at boost=1
+        # vs the 3.83e-6 block-granularity plateau; boost=1.5 reaches
+        # 3.98e-6 (4% above plateau) at 12% less near-field work than the
+        # plateau-exact boost=2.0.
+        self.mac_sub_boost = float(os.environ.get("CO_SUB_BOOST", "1.5")) \
+            if self.sub_depth else 1.0
         # COC centers make the dipole identically zero -> drop the order-1
         # multipole slots everywhere (reference's P2M-from-order-2 +
         # no_dipole M2L skip, fmm_cart3_kdtree.cuh:231-269)
@@ -824,11 +861,15 @@ class KdFmmEngine:
         out = conative.traverse_fine(
             c_h, lb_h, rb_h, self.st.mult, L, S, self.n, self.dim,
             self.p, float(self.config.tree_radius), self.config.coll,
+            mult_floor=self.mac_mult_floor, sub_boost=self.mac_sub_boost,
             m2l_cap=caps["m2l"], near_cap=caps["near"])
         if out is None:
             m2l_u, p2p_u = _traverse_raw(
                 c_h, lb_h, rb_h, self.st.mult, L, self.n, self.p,
-                float(self.config.tree_radius))
+                float(self.config.tree_radius),
+                mult_floor=self.mac_mult_floor,
+                boost_from=_heap_off(L - S + 1) if S else None,
+                sub_boost=self.mac_sub_boost)
             self.last_raw_counts = {"m2l": int(m2l_u.shape[0]) * 2,
                                     "near": int(p2p_u.shape[0])}
             near, m2l_d = self._fine_lists(m2l_u, p2p_u)
