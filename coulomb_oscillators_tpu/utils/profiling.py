@@ -35,13 +35,21 @@ def trace(logdir: str):
 
 
 def op_histogram(logdir: str, top: int = 30) -> Dict[str, float]:
-    """Aggregate op durations (ms) from a trace directory, largest first."""
+    """Aggregate DEVICE op durations (ms) from a trace directory, largest
+    first.  Only the "XLA Ops" device lane is counted — host python events
+    and module-level spans are excluded."""
     agg = collections.Counter()
     for f in glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                        recursive=True):
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
+        lanes = set()
         for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X" and "dur" in ev:
+            if (ev.get("ph") == "M" and ev.get("name") == "thread_name"
+                    and ev.get("args", {}).get("name") == "XLA Ops"):
+                lanes.add((ev.get("pid"), ev.get("tid")))
+        for ev in data.get("traceEvents", []):
+            if (ev.get("ph") == "X" and "dur" in ev
+                    and (ev.get("pid"), ev.get("tid")) in lanes):
                 agg[ev.get("name", "?")] += ev["dur"] / 1000.0
     return dict(agg.most_common(top))

@@ -11,6 +11,10 @@ Run from /root/repo (no PYTHONPATH — it breaks the axon plugin):
     python scripts/profile_force.py [N] [p] [r]
     python scripts/profile_force.py artifact [N] [p] [r]   # also write
         docs/breakdown_r03.json (driver-checkable per-stage record)
+    python scripts/profile_force.py trace [N] [p] [r]      # XLA trace of
+        the padded force program + per-op histogram (the isolated-stage
+        wall timings above carry per-call dispatch overhead; the trace is
+        the ground truth for where the fused program's time goes)
 """
 
 import sys
@@ -34,7 +38,8 @@ from coulomb_oscillators_tpu.utils.timing import test_time_chained
 def main():
     argv = sys.argv[1:]
     artifact = bool(argv) and argv[0] == "artifact"
-    if artifact:
+    tracemode = bool(argv) and argv[0] == "trace"
+    if artifact or tracemode:
         argv = argv[1:]
     n = int(argv[0]) if len(argv) > 0 else 1_000_000
     p = int(argv[1]) if len(argv) > 1 else 3
@@ -87,6 +92,22 @@ def main():
     record["force_padded_ms"] = round(t * 1e3, 2)
     print(f"force padded     : {t * 1e3:8.2f} ms "
           f"({n / t / 1e6:.2f}M psteps/s equiv)")
+
+    if tracemode:
+        from coulomb_oscillators_tpu.utils import profiling as prof
+        logdir = f"/tmp/xtrace_n{n}_p{p}"
+        x = ppad_prod
+        with prof.trace(logdir):
+            for _ in range(3):
+                x = fpad(x)
+            jax.block_until_ready(x)
+        hist = prof.op_histogram(logdir, top=40)
+        tot = sum(hist.values())
+        print(f"\n--- device op histogram (3 padded force calls, ms) ---")
+        for name, ms in hist.items():
+            print(f"{ms / 3:9.2f}  {100 * ms / max(tot, 1e-9):5.1f}%  "
+                  f"{name[:100]}")
+        return
 
     # --- gathers only ---
     @jax.jit
