@@ -206,6 +206,10 @@ def final_timing(p, r, err, n=1_000_000, early_stop_s=0.0, boost=None):
     from coulomb_oscillators_tpu.simulate import Simulator
 
     config = SimConfig().replace(fmm_order=p, tree_radius=r)
+    # surface recompiles in the timing log: a cap growth reshapes the scan
+    # and a compile landing inside a timed window is the #1 source of
+    # outlier windows — make it visible instead of guessing
+    jax.config.update("jax_log_compiles", True)
     state = _init_state(n)
     sim = Simulator(config, n, engine="fmm3_kd")
     state = sim.init_acc(state)
@@ -217,15 +221,22 @@ def final_timing(p, r, err, n=1_000_000, early_stop_s=0.0, boost=None):
     # does a synchronous refresh)
     state = sim.run(state, 2)
     state = sim.run(state, 2)
-    sim.advance_padded(2 * max(config.tree_steps, 1))
-    jax.block_until_ready(sim._padded.pos)
+    # cross SIX rebuild boundaries before timing: the beam's pair counts
+    # drift a few % per window, and each pair-cap overflow recompiles the
+    # scan (minutes remote) — settle the (now geometrically-grown) caps
+    # here so no recompile lands inside a timed window
+    for _ in range(3):
+        sim.advance_padded(2 * max(config.tree_steps, 1))
+        jax.block_until_ready(sim._padded.pos)
     steps, repeats = 16, 5
     times = []
-    for _ in range(repeats):
+    for w in range(repeats):
         t0 = time.perf_counter()
         handle = sim.advance_padded(steps)
         np.asarray(handle[0, 0])   # chained sync (transport-stall safe)
         times.append((time.perf_counter() - t0) / steps)
+        print(f"window {w}: {times[-1]:.4f} s/step  "
+              f"caps={sim._fmm.caps}", flush=True)
         if early_stop_s > 0 and len(times) >= 2 and min(times) > early_stop_s:
             break
     print("@@ " + json.dumps({"times": times}), flush=True)

@@ -407,8 +407,17 @@ class KdFmmEngine:
         self.L = L or auto_level(n, self.p, config.dens_inhom,
                                  config.tree_L, leaf_target)
         # block level: 128-lane near-field tiles live `sub_depth` levels
-        # above the sub-leaves the MAC resolves
-        self.sub_depth = max(0, min(sub_depth, self.L))
+        # above the sub-leaves the MAC resolves.  The dual-granularity MAC's
+        # whole premise is the auto-level geometry (~32-particle sub-leaves,
+        # 128-lane blocks); when -maxlevel / an explicit L forces a COARSER
+        # tree, the "block occupancy" floor would be looser than the
+        # reference's own leaves and the sub-boost would strangle the far
+        # field (e.g. n=800 @ L=4: blocks of 200 -> zero M2L acceptances,
+        # every -test order ties at the exact-P2P floor) — fall back to the
+        # reference's plain leaf-granularity MAC there.
+        auto_L = auto_level(n, self.p, config.dens_inhom, 0, leaf_target)
+        self.sub_depth = max(0, min(sub_depth, self.L)) \
+            if self.L >= auto_L else 0
         # MAC multiplicity floor: Mf = (max(mult, floor)/n)^(1/(3p+6)) keeps
         # the acceptance bound max(sz)/dist2 at sub-leaf granularity exactly
         # as strict as at the 128-lane block (reference-leaf) granularity.
@@ -615,11 +624,19 @@ class KdFmmEngine:
         # reshapes exactly into scan tiles
         # m2l padding is pure waste in the hot loop (the scan runs over the
         # cap) -> tight 8% headroom; p2p keeps 25% (tiles are cheaper and
-        # the Pallas degree table reallocates on dmax growth anyway)
+        # the Pallas degree table reallocates on dmax growth anyway).
+        # OVERFLOW growth is geometric (>=25% past the old cap): every cap
+        # change reshapes the jitted scan and costs a full recompile
+        # (~1-2 min remote at p>=5), and the beam's pair counts drift a few
+        # percent per rebuild window as it breathes in the trap — tight
+        # re-rounding made production hit a recompile every other 16-step
+        # window (the round-3 bench's 5-7 s/step outlier windows).
         for name, arr, q, hr in (("m2l", m2l, self.m2l_chunk, 1.08),
                                  ("p2p", p2p, 8192, 1.25)):
             if arr.shape[0] > self.caps[name]:
-                self.caps[name] = _round_cap(arr.shape[0], q, hr)
+                grown = -(-(self.caps[name] * 5 // 4) // q) * q
+                self.caps[name] = max(_round_cap(arr.shape[0], q, hr),
+                                      grown if self.caps[name] else 0)
         Mheap = _heap_off(self.L + 1)
         G = self.G_sub
         m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
@@ -638,7 +655,10 @@ class KdFmmEngine:
             # multiples of the (·,128) tiling
             dmax = max(128, -(-dmax // 128) * 128)
             if dmax > self.caps.get("dmax", 0):
-                self.caps["dmax"] = dmax
+                # geometric overflow growth, same rationale as the pair caps
+                # (dmax reshapes the Pallas partner table -> recompile)
+                grown = -(-(self.caps.get("dmax", 0) * 5 // 4) // 128) * 128
+                self.caps["dmax"] = max(dmax, grown)
             dmax = self.caps["dmax"]
         else:
             row_ptr = np.zeros(1, dtype=np.int32)
