@@ -205,11 +205,27 @@ def final_timing(p, r, err, n=1_000_000, early_stop_s=0.0, boost=None):
     from coulomb_oscillators_tpu import SimConfig
     from coulomb_oscillators_tpu.simulate import Simulator
 
-    config = SimConfig().replace(fmm_order=p, tree_radius=r)
+    # tree_pipeline=2: adopt each rebuild two window boundaries after its
+    # snapshot — the background rebuild (position fetch + host kd +
+    # traversal) gets a 2-window wall budget, so tunnel-transport variance
+    # cannot stall the device at boundaries (measured 2-4 s stalls per
+    # boundary at depth 1 on slow-transport sessions).  Max staleness
+    # tree_steps*3 = 24 steps; window-end error stays under the bound
+    # (scripts/tree_steps_probe.py).
+    # tree_resort_every stays 1: refresh-only boundaries keep the leaf
+    # PARTITION stale, and at 32-particle sub-leaves the AABB overlap from
+    # even 2-3 windows of drift swells the pair lists 40%+ (measured at
+    # N=1M; ~4x after 6 windows), permanently bloating the monotone caps —
+    # worse than the transport the refresh saves.
+    config = SimConfig().replace(fmm_order=p, tree_radius=r,
+                                 tree_pipeline=2)
     # surface recompiles in the timing log: a cap growth reshapes the scan
     # and a compile landing inside a timed window is the #1 source of
-    # outlier windows — make it visible instead of guessing
+    # outlier windows — make it visible instead of guessing.  Silence the
+    # per-trace dispatch spam (27 MB/run); keep pxla's "Compiling jit(...)"
+    import logging
     jax.config.update("jax_log_compiles", True)
+    logging.getLogger("jax._src.dispatch").setLevel(logging.ERROR)
     state = _init_state(n)
     sim = Simulator(config, n, engine="fmm3_kd")
     state = sim.init_acc(state)
@@ -228,15 +244,19 @@ def final_timing(p, r, err, n=1_000_000, early_stop_s=0.0, boost=None):
     for _ in range(3):
         sim.advance_padded(2 * max(config.tree_steps, 1))
         jax.block_until_ready(sim._padded.pos)
-    steps, repeats = 16, 5
+    steps, repeats = 16, 7
     times = []
     for w in range(repeats):
         t0 = time.perf_counter()
         handle = sim.advance_padded(steps)
         np.asarray(handle[0, 0])   # chained sync (transport-stall safe)
         times.append((time.perf_counter() - t0) / steps)
-        print(f"window {w}: {times[-1]:.4f} s/step  "
-              f"caps={sim._fmm.caps}", flush=True)
+        bt = {k: round(v, 3)
+              for k, v in getattr(sim._fmm, "last_build_times", {}).items()}
+        print(f"window {w}: {times[-1]:.4f} s/step  caps={sim._fmm.caps}  "
+              f"rebuild_wait={getattr(sim, 'last_rebuild_wait', -1):.3f}  "
+              f"counts={getattr(sim._fmm, 'last_counts', {})}  bt={bt}",
+              flush=True)
         if early_stop_s > 0 and len(times) >= 2 and min(times) > early_stop_s:
             break
     print("@@ " + json.dumps({"times": times}), flush=True)

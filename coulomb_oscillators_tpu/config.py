@@ -59,6 +59,27 @@ class SimConfig:
                                   # are MUCH looser on concentrated anisotropic
                                   # clouds (13x the P2P pairs on the N=1M beam);
                                   # only use for quasi-uniform distributions
+    tree_pipeline: int = 1        # async-rebuild adoption depth (host builder):
+                                  # each rebuild's position snapshot is adopted
+                                  # exactly this many window boundaries later.
+                                  # 1 = classic one-window-stale pipeline; 2
+                                  # doubles the wall budget the background
+                                  # rebuild gets before it stalls the device
+                                  # (tunnel-transport robustness) at the cost
+                                  # of one extra window of tree staleness
+                                  # (max tree_steps*(pipeline+1) steps, still
+                                  # deterministic).
+    tree_resort_every: int = 1    # windows between FULL re-sorts (host kd +
+                                  # position fetch); boundaries in between
+                                  # run a background REFRESH instead (exact
+                                  # node bounds from on-device leaf stats +
+                                  # MAC re-traversal — 10x less transport,
+                                  # permutation unchanged).  Bounds staleness
+                                  # at adoption stays one window regardless;
+                                  # re-sort staleness only loosens leaf
+                                  # partition tightness (a few % more pairs).
+                                  # 1 = full re-sort every window (reference
+                                  # cadence, fmm_cart3_kdtree.cuh:1619-1642).
     dens_inhom: float = 1.0       # density-inhomogeneity factor for auto level (constants.cuh:52)
     coll: bool = True             # include near-field P2P pass (constants.cuh:50)
     unsort: bool = True           # return accelerations in input particle order

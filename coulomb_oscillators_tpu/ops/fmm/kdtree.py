@@ -653,12 +653,15 @@ class KdFmmEngine:
             dmax = int(degrees.max()) if degrees.size else 1
             # 128-aligned: Mosaic requires HBM slice lane dims to be
             # multiples of the (·,128) tiling
-            dmax = max(128, -(-dmax // 128) * 128)
             if dmax > self.caps.get("dmax", 0):
-                # geometric overflow growth, same rationale as the pair caps
-                # (dmax reshapes the Pallas partner table -> recompile)
-                grown = -(-(self.caps.get("dmax", 0) * 5 // 4) // 128) * 128
-                self.caps["dmax"] = max(dmax, grown)
+                # 25% headroom at first sizing AND geometric overflow growth
+                # (same rationale as the pair caps: dmax reshapes the Pallas
+                # partner table -> kernel recompile; degree drift past a
+                # tight cap put a ~2 min recompile inside a timed bench
+                # window).  Cost is only the per-target col-row DMA width.
+                grown = self.caps.get("dmax", 0) * 5 // 4
+                dmax = max(128, -(-max(int(dmax * 1.25), grown) // 128) * 128)
+                self.caps["dmax"] = dmax
             dmax = self.caps["dmax"]
         else:
             row_ptr = np.zeros(1, dtype=np.int32)

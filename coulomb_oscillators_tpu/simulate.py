@@ -42,6 +42,13 @@ class Simulator:
         self._last_out = None
         self._use_padded = False
         self._pending = None      # in-flight background re-sort
+        # host-async rebuild pipeline: queue of (due_boundary, kind, future)
+        # rebuild jobs — full re-sorts adopted `tree_pipeline` boundaries
+        # after submission, refreshes one boundary after
+        import collections
+        self._pqueue = collections.deque()
+        self._boundary_i = 0
+        self._last_full = None
         self._pool = None
         self._mesh = mesh
         self._ps = None           # PShardedKdFmm when mesh is set
@@ -325,26 +332,85 @@ class Simulator:
                 lambda p=cur.pos: eng.adopt(eng.build_device_async(p)))
             return
 
-        if self._pending is not None:
-            fs_new, remap = self._pending.result()
-            self._padded = ParticleState(*eng.repad_triple(
-                self._padded.pos, self._padded.vel, self._padded.acc,
-                remap))
-            self._fstate = fs_new
-        else:
+        # Hybrid pipelined rebuild cadence (deterministic):
+        #
+        # * FULL re-sort (position fetch + host kd + traversal) every
+        #   `tree_resort_every` (K) window boundaries, adopted
+        #   `tree_pipeline` (D) boundaries after its position snapshot.
+        #   D=2 gives the background rebuild a 2-window wall budget — on
+        #   the tunneled TPU the 12 MB position fetch alone often exceeds
+        #   one 8-step window (measured 1.2-6 s), stalling the device
+        #   2-4 s per boundary at D=1.
+        # * REFRESH (exact node bounds from 1.2 MB of on-device leaf stats
+        #   + MAC re-traversal + list re-upload; permutation unchanged) at
+        #   every other boundary, adopted one boundary after its snapshot.
+        #   Bounds are therefore at most one window old at adoption — the
+        #   same staleness contract the D=1 pipeline had — regardless of
+        #   how long ago the last re-sort ran; re-sort staleness only
+        #   loosens leaf PARTITION quality (slightly more pairs, never
+        #   wrong ones), and the beam's pair counts drift ~0.5%/window.
+        import time as _time
+        D = max(1, int(getattr(self.config, "tree_pipeline", 1)))
+        K = max(1, int(getattr(self.config, "tree_resort_every", 1)))
+        i = self._boundary_i
+        self._boundary_i += 1
+
+        if self._pqueue and self._pqueue[0][0] <= i:
+            due, kind, fut = self._pqueue.popleft()
+            t0 = _time.perf_counter()
+            res = fut.result()
+            # boundary stall diagnostic: how long the device sat idle
+            # waiting for the background rebuild (bench.py reports it)
+            self.last_rebuild_wait = _time.perf_counter() - t0
+            if kind == "full":
+                fs_new, remap = res
+                self._padded = ParticleState(*eng.repad_triple(
+                    self._padded.pos, self._padded.vel, self._padded.acc,
+                    remap))
+                self._fstate = fs_new
+            else:
+                self._fstate = res
+            # collision safety: drop any other job due at this boundary
+            while self._pqueue and self._pqueue[0][0] <= i:
+                _, _, f2 = self._pqueue.popleft()
+                try:
+                    f2.result()
+                except Exception:
+                    pass
+        elif not self._pqueue:
             # pipeline priming: exact geometry/list refresh on the current
             # permutation (bounds are exact; only leaf tightness is stale;
             # the padded layout is untouched)
             self._fstate = eng.refresh(self._padded.pos, self._fstate)
-        fs_old = self._fstate
+
+        fs_cur = self._fstate
         ppad = self._padded.pos
+        if i % K == 0:
+            # submit the next FULL re-sort from this boundary's positions.
+            # Its repad must map from the layout current at ITS adoption —
+            # the previous full job's result (refreshes preserve the
+            # permutation; the single-worker executor runs jobs in order,
+            # so prev.result() inside the job is already done and free).
+            prev = self._last_full
 
-        def job(ppad=ppad, fs_old=fs_old):
-            fs_new = eng.adopt(eng.build_host_padded(ppad,
-                                                     fs_old.inv_perm))
-            return fs_new, eng.make_repad(fs_old, fs_new)
+            def job(ppad=ppad, prev=prev, fs_cur=fs_cur):
+                fs_new = eng.adopt(eng.build_host_padded(
+                    ppad, fs_cur.inv_perm))
+                fs_old = prev.result()[0] if prev is not None else fs_cur
+                return fs_new, eng.make_repad(fs_old, fs_new)
 
-        self._pending = self._executor().submit(job)
+            fut = self._executor().submit(job)
+            self._last_full = fut
+            self._pqueue.append((i + D, "full", fut))
+        elif (i + 1 - D) % K != 0:
+            # background refresh, adopted next boundary.  Skipped when a
+            # full adoption lands there (the refresh would straddle the
+            # layout change and be discarded anyway).
+            def rjob(ppad=ppad, fs_cur=fs_cur):
+                return eng.refresh(ppad, fs_cur)
+
+            self._pqueue.append((i + 1, "refresh",
+                                 self._executor().submit(rjob)))
 
     def _executor(self):
         if self._pool is None:
@@ -361,3 +427,12 @@ class Simulator:
             except Exception:
                 pass
             self._pending = None
+        while self._pqueue:
+            _, _, f = self._pqueue.popleft()
+            f.cancel()
+            try:
+                f.result()
+            except Exception:
+                pass
+        self._boundary_i = 0
+        self._last_full = None

@@ -126,6 +126,35 @@ def test_async_repad_matches_sync_rebuild(beam):
     assert delta < 1e-7, delta
 
 
+def test_pipelined_adoption_depth2_matches_sync(beam):
+    """tree_pipeline=2 (rebuild adopted two window boundaries after its
+    position snapshot — the transport-robust production mode) must stay on
+    the sync trajectory to staleness-level accuracy and remain
+    deterministic."""
+    from coulomb_oscillators_tpu.simulate import Simulator
+
+    pos, vel = beam
+    traj = {}
+    for tag, depth, resort in (("sync", 0, 1), ("d2", 2, 1),
+                               ("d2_again", 2, 1), ("hybrid", 2, 2)):
+        cfg = SimConfig(fmm_order=4, tree_radius=2.0, dt=5e-4,
+                        tree_steps=4, tree_async=depth > 0,
+                        tree_pipeline=max(depth, 1),
+                        tree_resort_every=resort)
+        sim = Simulator(cfg, N, engine="fmm3_kd")
+        st = sim.init_acc(ParticleState(pos, vel, jnp.zeros_like(pos)))
+        st = sim.run(st, 18)          # 4 rebuild boundaries
+        traj[tag] = np.asarray(st.pos)
+    # deterministic: two D=2 runs are bit-identical
+    assert np.array_equal(traj["d2"], traj["d2_again"])
+    scale = np.abs(traj["sync"]).mean()
+    for tag in ("d2", "hybrid"):
+        delta = np.abs(traj[tag] - traj["sync"]).mean() / scale
+        # measured 3e-9 (round 3); trees two windows stale / refresh-only
+        # boundaries keep exact bounds on a stale partition
+        assert delta < 3e-7, (tag, delta)
+
+
 def test_fmm_potential_vs_direct(beam):
     pos, _ = beam
     cfg = SimConfig(fmm_order=5, tree_radius=2.5)
