@@ -63,8 +63,9 @@ def auto_level(n: int, p: int, dens_inhom: float = 1.0,
 
     Reference formula (fmm_cart3_kdtree.cuh:1502-1515) targets leaves of
     ~p^2 particles — right for a GPU's subwarp P2P.  On TPU the VPU wants
-    leaf blocks of O(100) lanes, so the engine passes `leaf_target` (default
-    64) and we aim for that occupancy instead; `tree_L` still overrides.
+    leaf blocks of O(100) lanes, so the engine passes `leaf_target`
+    (KdFmmEngine passes 32: sub-leaves of ~32 below 128-lane blocks) and we
+    aim for that occupancy instead; `tree_L` still overrides.
     """
     if tree_L > 0:
         L = tree_L
