@@ -64,9 +64,14 @@ def _morton_decode(ids: np.ndarray, bits: int, dim: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=16)
-def _grid_static(dim: int, L: int):
+def _grid_static(dim: int, L: int, R: int = 1):
     """Per-level static maps: morton<->row-major grid, M2L masks/offsets,
-    P2P neighbour maps (built at leaf level)."""
+    P2P neighbour maps (built at leaf level).
+
+    R is the integer interaction radius (the reference's `tree_radius`,
+    appel.cuh:260-381, 420-467: cells within Chebyshev distance R are near
+    neighbours; the M2L window is children-of-parent-neighbours minus own
+    neighbours, i.e. offsets in [-(2R+1), 2R+1]^dim with |o|_inf > R)."""
     levels = []
     for l in range(L + 1):
         side = 1 << l
@@ -81,23 +86,24 @@ def _grid_static(dim: int, L: int):
         inv = np.empty(cells, dtype=np.int64)
         inv[flat] = ids
         levels.append({"coords": coords, "to_grid": flat, "from_grid": inv})
-    # M2L offset classes: o in [-3,3]^dim, |o|_inf > 1
+    # M2L offset classes: o in [-(2R+1), 2R+1]^dim, |o|_inf > R
     offsets = []
-    rng = range(-3, 4)
+    rng = range(-(2 * R + 1), 2 * R + 2)
     import itertools
     for o in itertools.product(*([rng] * dim)):
-        if max(abs(x) for x in o) > 1:
+        if max(abs(x) for x in o) > R:
             offsets.append(o)
     # P2P neighbour offsets (incl. self)
-    nbrs = [o for o in itertools.product(*([range(-1, 2)] * dim))]
+    nbrs = [o for o in itertools.product(*([range(-R, R + 1)] * dim))]
     return levels, tuple(offsets), tuple(nbrs)
 
 
-def _axis_mask(side: int, o: int) -> np.ndarray:
-    """valid(i) = |floor((i+o)/2) - floor(i/2)| <= 1 and 0 <= i+o < side."""
+def _axis_mask(side: int, o: int, R: int = 1) -> np.ndarray:
+    """valid(i) = |floor((i+o)/2) - floor(i/2)| <= R and 0 <= i+o < side
+    (the per-axis children-of-parent-neighbours condition)."""
     i = np.arange(side)
     j = i + o
-    ok = (j >= 0) & (j < side) & (np.abs(j // 2 - i // 2) <= 1)
+    ok = (j >= 0) & (j < side) & (np.abs(j // 2 - i // 2) <= R)
     return ok.astype(np.float32)
 
 
@@ -129,7 +135,13 @@ class OctreeFmmEngine:
         self.L = L or auto_level_octree(n, self.p, self.dim,
                                         config.dens_inhom, config.tree_L)
         self.tables = build_tables(self.dim, self.p)
-        self.levels, self.offsets, self.nbrs = _grid_static(self.dim, self.L)
+        # integer interaction radius (the -r flag, appel.cuh:260-381):
+        # R=2 doubles the near neighbourhood and pushes the M2L window out
+        # to |o| in (2, 5], roughly halving the worst-case opening ratio —
+        # measurably more accurate at the same p (tests/test_octree.py)
+        self.R = min(max(int(round(config.tree_radius)), 1), 2)
+        self.levels, self.offsets, self.nbrs = _grid_static(self.dim, self.L,
+                                                            self.R)
         self.cell_cap = cell_cap  # 0 = choose at build
         # "traceless": store multipoles as harmonic projections with 2m+1
         # (3D) coefficients per order — the fmm_cart3_traceless.cuh variant.
@@ -282,16 +294,18 @@ class OctreeFmmEngine:
             cw_l = st.cw * (1 << (L - l))
             Mg = jnp.take(M_lvl[l], jnp.asarray(lv["from_grid"]), axis=0)
             Mg = Mg.reshape((side,) * dim + (SM,))
-            # zero-pad by 3 on each side: class windows slice the pad
-            Mp = jnp.pad(Mg, [(3, 3)] * dim + [(0, 0)])
+            # zero-pad by 2R+1 on each side: class windows slice the pad
+            pad = 2 * self.R + 1
+            Mp = jnp.pad(Mg, [(pad, pad)] * dim + [(0, 0)])
             masks = np.stack(
-                [np.stack([_axis_mask(side, o[a]) for a in range(dim)])
+                [np.stack([_axis_mask(side, o[a], self.R)
+                           for a in range(dim)])
                  for o in self.offsets])                       # [nO, dim, side]
             masks_j = jnp.asarray(masks)
 
             def m2l_class(Lg, args):
                 o, K, mk = args
-                starts = tuple(o[a] + 3 for a in range(dim)) + (0,)
+                starts = tuple(o[a] + pad for a in range(dim)) + (0,)
                 src = jax.lax.dynamic_slice(
                     Mp, starts, (side,) * dim + (SM,))
                 contrib = jnp.matmul(src, K, precision=PREC)

@@ -69,6 +69,28 @@ def test_appel_error_scale_invariant_in_depth():
     assert errs[1] < 0.12, errs
 
 
+def test_radius_knob_improves_accuracy():
+    """-r 2 must be measurably more accurate than r=1 on the uniform-grid
+    engines (the reference's tree_radius knob, appel.cuh:260-381: a wider
+    near neighbourhood halves the worst-case M2L opening ratio)."""
+    from coulomb_oscillators_tpu.ops.fmm.appel import AppelEngine
+    cfg = SimConfig()
+    pos = _uniform(3)
+    ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
+
+    def err(eng):
+        return float(mean_rel_err(eng.force(pos, eng.build(pos)), ref))
+
+    e1 = err(OctreeFmmEngine(cfg.replace(fmm_order=4, tree_radius=1.0),
+                             N, L=3))
+    e2 = err(OctreeFmmEngine(cfg.replace(fmm_order=4, tree_radius=2.0),
+                             N, L=3))
+    assert e2 < e1 * 0.5, (e1, e2)
+    a1 = err(AppelEngine(cfg.replace(tree_radius=1.0), N, L=3))
+    a2 = err(AppelEngine(cfg.replace(tree_radius=2.0), N, L=3))
+    assert a2 < a1 * 0.6, (a1, a2)
+
+
 def test_octree_engine_registry():
     from coulomb_oscillators_tpu.ops.fmm import make_engine_object
     cfg = SimConfig()
