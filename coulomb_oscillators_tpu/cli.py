@@ -207,6 +207,9 @@ def main(argv: Optional[list] = None) -> int:
 
     # --- run modes ---------------------------------------------------------
     if args.accuracy is not None:
+        # record the requested bound in the config: the kd engine stiffens
+        # its sub-leaf MAC automatically for accuracy-grade bounds
+        config = config.replace(accuracy=args.accuracy)
         config, err = autotune(config, n, state.pos, engine, args.accuracy)
         if config is None:
             print("\nOptimization failed!")

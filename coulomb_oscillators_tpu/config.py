@@ -83,6 +83,18 @@ class SimConfig:
     dens_inhom: float = 1.0       # density-inhomogeneity factor for auto level (constants.cuh:52)
     coll: bool = True             # include near-field P2P pass (constants.cuh:50)
     unsort: bool = True           # return accelerations in input particle order
+    accuracy: float = 0.0         # requested mean relative force-error bound
+                                  # (the -accuracy flag, main3.cu:236-237);
+                                  # 0 = none.  A tight bound (<1e-4) makes the
+                                  # kd engine stiffen its sub-leaf MAC
+                                  # automatically (mac_sub_boost -> 2.0, the
+                                  # block-granularity error plateau) so
+                                  # accuracy-grade runs never pay the
+                                  # throughput-tuned boost's extra ~4% error.
+    mac_sub_boost: float = 0.0    # sub-leaf MAC acceptance-radius boost
+                                  # (TPU extension, see KdFmmEngine); 0 = auto
+                                  # (1.5 throughput-tuned, or 2.0 when
+                                  # `accuracy` < 1e-4)
 
     # --- integration -------------------------------------------------------
     dt: float = 5e-4              # main3.cu:231

@@ -440,8 +440,20 @@ class KdFmmEngine:
         # vs the 3.83e-6 block-granularity plateau; boost=1.5 reaches
         # 3.98e-6 (4% above plateau) at 12% less near-field work than the
         # plateau-exact boost=2.0.
-        self.mac_sub_boost = float(os.environ.get("CO_SUB_BOOST", "1.5")) \
-            if self.sub_depth else 1.0
+        # Resolution: explicit config > env override > accuracy-grade auto
+        # (a requested force-error bound < 1e-4 selects the plateau-exact
+        # 2.0 — north-star energy runs must not pay the throughput boost's
+        # extra error) > throughput default 1.5.
+        if not self.sub_depth:
+            self.mac_sub_boost = 1.0
+        elif getattr(config, "mac_sub_boost", 0.0) > 0.0:
+            self.mac_sub_boost = float(config.mac_sub_boost)
+        elif os.environ.get("CO_SUB_BOOST"):
+            self.mac_sub_boost = float(os.environ["CO_SUB_BOOST"])
+        elif 0.0 < getattr(config, "accuracy", 0.0) < 1e-4:
+            self.mac_sub_boost = 2.0
+        else:
+            self.mac_sub_boost = 1.5
         # COC centers make the dipole identically zero -> drop the order-1
         # multipole slots everywhere (reference's P2M-from-order-2 +
         # no_dipole M2L skip, fmm_cart3_kdtree.cuh:231-269)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def run_one(n, steps, engine, p_order, radius, dt=5e-4, block=1000,
-            integrator="leapfrog", quiet=False):
+            integrator="leapfrog", quiet=False, **config_kw):
     from coulomb_oscillators_tpu import SimConfig, ParticleState
     from coulomb_oscillators_tpu.models import init_dist as ID
     from coulomb_oscillators_tpu.models import oscillator as M
@@ -32,7 +32,7 @@ def run_one(n, steps, engine, p_order, radius, dt=5e-4, block=1000,
     from coulomb_oscillators_tpu.simulate import Simulator
 
     config = SimConfig(fmm_order=p_order, tree_radius=radius, dt=dt,
-                       integrator=integrator)
+                       integrator=integrator, **config_kw)
     x = (0.003, 0.001, 0.01)
     u = tuple(w * xs for w, xs in zip(config.omega0, x))
     pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
@@ -99,20 +99,36 @@ def sweep(steps=10_000):
         run_one(n, steps, engine, p, r, dt, integrator=integ, quiet=True)
 
 
-def emit_artifact(path="ENERGY_r03.json", steps=10_000):
-    """Driver-checkable north-star artifact (VERDICT round 2 item 7):
-    N=30001, p=6, r=2.5, dt=2e-5, leapfrog, f64-certified Hamiltonian."""
+def emit_artifact(path="ENERGY_r04.json", steps=10_000):
+    """Driver-checkable north-star artifact: N=30001, p=6, r=2.5, dt=2e-5,
+    leapfrog, f64-certified Hamiltonian.
+
+    The config carries accuracy=1e-6, which makes the kd engine stiffen its
+    sub-leaf MAC automatically (boost 2.0 — the block-granularity error
+    plateau; the throughput-tuned 1.5 default costs ~4% more force error,
+    which the round-3 artifact showed regressing the drift to 2.5e-6).  If
+    the bound still fails, fall back to the round-2 geometry outright
+    (sub-leaf MAC off via mac_sub_boost pinned huge == block granularity)."""
     import json
     n, p, r, dt = 30001, 6, 2.5, 2e-5
-    drift, max_drift, psteps = run_one(n, steps, "fmm3_kd", p, r, dt,
-                                       quiet=True)
+    ladder = [
+        {"accuracy": 1e-6},                       # auto-stiffened boost=2.0
+        {"accuracy": 1e-6, "mac_sub_boost": 4.0},  # ~block-granularity MAC
+    ]
+    for i, kw in enumerate(ladder):
+        drift, max_drift, psteps = run_one(n, steps, "fmm3_kd", p, r, dt,
+                                           quiet=True, **kw)
+        if max_drift <= 1e-6 or i == len(ladder) - 1:
+            break
+        print(f"drift {max_drift:.3e} > 1e-6 at {kw}; stiffening",
+              flush=True)
     out = {
         "metric": "rel_energy_drift",
         "value": drift,
         "max_drift": max_drift,
         "steps": steps,
         "config": {"n": n, "engine": "fmm3_kd", "p": p, "r": r, "dt": dt,
-                   "integrator": "leapfrog"},
+                   "integrator": "leapfrog", **kw},
         "measurement": "ops/energy.py total_energy_kahan (device Kahan rows"
                        " + f64 host reduce, ~2e-10 accurate)",
         "note": "north star <=1e-6 @10k steps; at the reference default "
