@@ -61,6 +61,7 @@ def test_hop_grouping_covers_all_pairs(setup):
         int(np.asarray(fs.m2l_valid).sum())
 
 
+@pytest.mark.slow
 def test_full_step_matches_padded_sim(setup):
     config, n, pos, vel, eng, fs = setup
     mesh = PM.make_mesh(8)
@@ -92,6 +93,7 @@ def test_full_step_matches_padded_sim(setup):
     assert err < 1e-5, err
 
 
+@pytest.mark.slow
 def test_simulator_mesh_mode_async_matches_single_device(setup):
     """Mesh mode with the ASYNC rebuild pipeline crosses TWO rebuild
     windows and stays on the single-device (equally async) trajectory —
@@ -116,6 +118,7 @@ def test_simulator_mesh_mode_async_matches_single_device(setup):
     assert err < 1e-4, err
 
 
+@pytest.mark.slow
 def test_simulator_mesh_mode_matches_single_device(setup):
     """Simulator(mesh=...) runs the padded scan particle-sharded, crossing
     a rebuild boundary, and stays on the single-device trajectory."""
@@ -145,6 +148,7 @@ def test_simulator_mesh_mode_matches_single_device(setup):
     assert shard_shapes == {(G // 8, C, 3)}
 
 
+@pytest.mark.slow
 def test_device_async_builder_trajectory(setup):
     """tree_async_build='device' (on-chip Morton rebuild) stays on the
     sync-rebuild trajectory to force-error tolerance across a rebuild."""
@@ -167,6 +171,7 @@ def test_device_async_builder_trajectory(setup):
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_cli_chips_flag(tmp_path):
     """CLI -chips N drives the particle-sharded simulator end-to-end."""
     from coulomb_oscillators_tpu import cli
