@@ -61,17 +61,23 @@ SEARCH_R = [1.11, 1.25, 1.43, 1.67, 2.0, 2.5, 3.0]
 SEARCH_BOOST = [1.5, 1.3, 1.15, 1.0]
 
 TUNED_PATH = os.path.join(REPO, "BENCH_TUNED.json")
-DEFAULT_TUNED = {"p": 5, "r": 2.0, "boost": 1.5}
-# refinement candidates probed after the tuned headline exists, in order
-# (nearby (p, r, boost) points; the round-2 grid showed the optimum at
-# p=5 r=2.0 with p=4/p=6 neighbours competitive)
+DEFAULT_TUNED = {"p": 6, "r": 1.67, "boost": 1.5}
+# refinement candidates probed after the tuned headline exists, in order.
+# Round-4 probe sweep (all at N=1M vs the cached Kahan oracle):
+#   p=6 r=1.67 b=1.5: err 3.3e-4, force 0.380 s, rebuild 1.21 s  <- tuned
+#   p=6 r=1.43 b=1.5: err 9.7e-4, force 0.336 s, rebuild 0.79 s  (3% margin
+#       to the bound; window staleness adds ~10-13% error -> too risky to
+#       pin, kept as the first refine candidate with the margin re-probed)
+#   p=6 r=1.67 b=1.3: err 3.3e-4, force 0.502 s (more M2L at p=6 costs more
+#       than the P2P it saves -> boost stays 1.5)
+#   p=5 r=2.0  b=1.5: err 4.3e-4, force 0.548 s, rebuild 3.05 s  (round-2
+#       winner, dethroned: its near field is 5x the r=1.67 one)
 REFINE = [
-    {"p": 5, "r": 2.0, "boost": 1.3},
-    {"p": 4, "r": 1.67, "boost": 1.5},
-    {"p": 5, "r": 1.67, "boost": 1.5},
+    {"p": 6, "r": 1.43, "boost": 1.5},
+    {"p": 5, "r": 1.43, "boost": 1.5},
+    {"p": 6, "r": 1.67, "boost": 1.3},
+    {"p": 5, "r": 2.0, "boost": 1.5},
     {"p": 4, "r": 2.0, "boost": 1.3},
-    {"p": 6, "r": 2.0, "boost": 1.3},
-    {"p": 5, "r": 2.5, "boost": 1.3},
 ]
 
 
