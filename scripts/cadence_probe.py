@@ -37,11 +37,16 @@ enable_compile_cache()
 COMBOS = [
     # (tree_steps, resort_every, pipeline)
     (8, 1, 2),     # bench round-4 shipping config
-    (8, 2, 2),     # refresh between re-sorts
+    (8, 4, 2),     # refresh between re-sorts
     (16, 1, 2),
     (16, 2, 2),
-    (16, 2, 1),
+    (16, 4, 2),    # full job gets 2 long windows; 3 cheap refreshes between
+    (16, 4, 3),
 ]
+# env override, e.g. CO_CADENCE_COMBOS="8,4,2;16,4,2"
+if os.environ.get("CO_CADENCE_COMBOS"):
+    COMBOS = [tuple(int(v) for v in c.split(","))
+              for c in os.environ["CO_CADENCE_COMBOS"].split(";")]
 
 
 def main():

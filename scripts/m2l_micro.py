@@ -80,21 +80,24 @@ def main():
     wc = fs.m2l_w.reshape(nch, chunk)
     lgc = fs.m2l_logc.reshape(nch, chunk)
 
+    # big streams as ARGUMENTS, not captured constants (a baked ~660 MB
+    # literal wedges the remote-compile endpoint; see profile_force.py)
     # ---- gather only ----
     @jax.jit
-    def gather_only(h):
+    def gather_impl(h, bc):
         def body(acc, args):
             bi, = args
             MbX = jnp.take(h, bi, axis=0)
             return acc + jnp.sum(MbX, axis=0), None
         acc, _ = jax.lax.scan(body, jnp.zeros((t.S_M,), h.dtype), (bc,))
         return acc
-    tt = test_time_chained(chain(gather_only), mh, min_loop=2.0)
+    tt = test_time_chained(chain(lambda h: gather_impl(h, bc)), mh,
+                           min_loop=2.0)
     print(f"gather   : {tt * 1e3:8.2f} ms", flush=True)
 
     # ---- gather + FMAs, no scatter ----
     @jax.jit
-    def compute_only(h):
+    def compute_impl(h, bc, vc, h2c, wc, lgc):
         def body(acc, args):
             bi, vv, H2, w, logc = args
             MbX = jnp.take(h, bi, axis=0)
@@ -103,12 +106,14 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.zeros((t.S_Lt,), h.dtype),
                               (bc, vc, h2c, wc, lgc))
         return acc
-    tt = test_time_chained(chain(compute_only), mh, min_loop=2.0)
+    tt = test_time_chained(
+        chain(lambda h: compute_impl(h, bc, vc, h2c, wc, lgc)), mh,
+        min_loop=2.0)
     print(f"compute  : {tt * 1e3:8.2f} ms", flush=True)
 
     # ---- gather + trivial value + segment_sum (no FMAs) ----
     @jax.jit
-    def segsum_only(h):
+    def segsum_impl(h, bc, vc, tac, h2c, wc):
         def body(acc, args):
             bi, vv, ta, H2, w = args
             MbX = jnp.take(h, bi, axis=0)
@@ -121,7 +126,9 @@ def main():
             body, jnp.zeros((Mheap + 1, t.S_Lt), h.dtype),
             (bc, vc, tac, h2c, wc))
         return acc[:Mheap]
-    tt = test_time_chained(chain(segsum_only), mh, min_loop=2.0)
+    tt = test_time_chained(
+        chain(lambda h: segsum_impl(h, bc, vc, tac, h2c, wc)), mh,
+        min_loop=2.0)
     print(f"segsum   : {tt * 1e3:8.2f} ms", flush=True)
 
     # ---- grouped prototype ----
