@@ -100,6 +100,13 @@ class FmmState(NamedTuple):
     m2l_logc: jax.Array    # [Km] 2D monopole log correction (zeros in 3D)
     p2p_row_ptr: jax.Array  # [Gsub+1] CSR over the valid prefix of p2p_src
     p2p_col2d: jax.Array    # [Gsub, Dmax] partner block ids (Pallas path)
+    m2l_gtgt: jax.Array     # [Km/g] target heap index per GROUP of g
+                            # consecutive entries (every group is
+                            # single-target; per-target runs padded to a
+                            # multiple of g at list prep).  The M2L scan
+                            # dense-reduces each group before the
+                            # segment_sum, shrinking the scatter g-fold.
+                            # Shape [1] when grouping is off (g=1).
 
 
 @dataclasses.dataclass
@@ -371,12 +378,13 @@ def _round_cap(k: int, quantum: int = 8192, headroom: float = 1.25) -> int:
     return max(quantum, -(-int(k * headroom) // quantum) * quantum)
 
 
-def _pick_chunk(K: int, target: int) -> int:
-    """Largest divisor-of-K chunk size near `target` (scan tiling)."""
+def _pick_chunk(K: int, target: int, mult: int = 1) -> int:
+    """Largest divisor-of-K chunk size near `target` (scan tiling).
+    `mult` constrains the chunk to a multiple (grouped-M2L run size)."""
     if K <= target:
         return max(K, 1)
     nch = max(1, -(-K // target))
-    while K % nch:
+    while K % nch or (K // nch) % mult:
         nch += 1
     return K // nch
 
@@ -458,6 +466,14 @@ class KdFmmEngine:
         # multipole slots everywhere (reference's P2M-from-order-2 +
         # no_dipole M2L skip, fmm_cart3_kdtree.cuh:231-269)
         self.tables = build_tables(self.dim, self.p, no_dipole=True)
+        # M2L group size g: per-target entry runs are padded to multiples
+        # of g at list prep so the scan can dense-reduce g consecutive
+        # entries (free reshape-sum on the VPU) before the segment_sum,
+        # shrinking the scatter g-fold for ~(g-1)/2 per-target extra pad
+        # entries (measured x1.10 pad waste at g=8, N=1M p=6 r=1.67 —
+        # scripts/m2l_micro.py: isolated stage 318 ms -> 200 ms).  g=1
+        # disables grouping (legacy per-entry scatter).
+        self.m2l_group = int(os.environ.get("CO_M2L_GROUP", "8"))
         # Near-field default: the K-unrolled VMEM-resident Pallas kernel on
         # TPU; the chunked jnp scan elsewhere.  dim=2 stays on the scan
         # (the FAR sentinel's 1/r^2 weight does not underflow exactly in
@@ -633,6 +649,26 @@ class KdFmmEngine:
         import time as _time
         t0 = _time.perf_counter()
         self.last_counts = {"m2l": int(m2l.shape[0]), "p2p": int(p2p.shape[0])}
+        Mheap_g = _heap_off(self.L + 1)
+        g = self.m2l_group
+        if g > 1:
+            # grouped layout: pad each target's (sorted, contiguous) entry
+            # run to a multiple of g; the device scan dense-reduces each
+            # g-run before a g-fold-smaller segment_sum.  m2l stays
+            # target-sorted; caps["m2l"] tracks the GROUPED length.
+            tgt = m2l[:, 0].astype(np.int64)
+            deg = np.bincount(tgt, minlength=Mheap_g)
+            pdeg = -(-deg // g) * g
+            off = np.zeros(Mheap_g + 1, np.int64)
+            np.cumsum(pdeg, out=off[1:])
+            rp = np.zeros(Mheap_g + 1, np.int64)
+            np.cumsum(deg, out=rp[1:])
+            posn = np.arange(m2l.shape[0], dtype=np.int64)
+            posn += np.repeat(off[:-1] - rp[:-1], deg)
+            k2 = int(off[-1])
+        else:
+            posn = None
+            k2 = int(m2l.shape[0])
         # m2l caps quantized to the scan chunk so the streamed geometry
         # reshapes exactly into scan tiles
         # m2l padding is pure waste in the hot loop (the scan runs over the
@@ -644,15 +680,30 @@ class KdFmmEngine:
         # percent per rebuild window as it breathes in the trap — tight
         # re-rounding made production hit a recompile every other 16-step
         # window (the round-3 bench's 5-7 s/step outlier windows).
-        for name, arr, q, hr in (("m2l", m2l, self.m2l_chunk, 1.08),
-                                 ("p2p", p2p, 8192, 1.25)):
-            if arr.shape[0] > self.caps[name]:
+        for name, klen, q, hr in (("m2l", k2, self.m2l_chunk, 1.08),
+                                  ("p2p", p2p.shape[0], 8192, 1.25)):
+            if klen > self.caps[name]:
                 grown = -(-(self.caps[name] * 5 // 4) // q) * q
-                self.caps[name] = max(_round_cap(arr.shape[0], q, hr),
+                self.caps[name] = max(_round_cap(klen, q, hr),
                                       grown if self.caps[name] else 0)
-        Mheap = _heap_off(self.L + 1)
+        Mheap = Mheap_g
         G = self.G_sub
-        m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
+        if g > 1:
+            cap = self.caps["m2l"]
+            m2l_t = np.full(cap, Mheap, dtype=np.int32)
+            m2l_s = np.zeros(cap, dtype=np.int32)
+            m2l_v = np.zeros(cap, dtype=bool)
+            m2l_t[posn] = m2l[:, 0]
+            m2l_s[posn] = m2l[:, 1]
+            m2l_v[posn] = True
+            # group target = min over the group (pad slots carry the Mheap
+            # sentinel; every group inside the grouped length has >=1 real
+            # entry, so min() is its target; all-pad cap-tail groups stay
+            # at the sentinel -> still ascending for segment_sum)
+            m2l_gt = m2l_t.reshape(-1, g).min(axis=1)
+        else:
+            m2l_t, m2l_s, m2l_v = _pad_pairs(m2l, self.caps["m2l"], Mheap)
+            m2l_gt = np.zeros(1, dtype=np.int32)
         p2p_t, p2p_s, p2p_v = _pad_pairs(p2p, self.caps["p2p"], G)
         if self.use_pallas:
             # CSR + dense-degree layout only the Pallas kernel reads.
@@ -711,6 +762,7 @@ class KdFmmEngine:
             m2l_h2=h2, m2l_w=w, m2l_logc=logc,
             p2p_row_ptr=jnp.asarray(row_ptr),
             p2p_col2d=col2d,
+            m2l_gtgt=jnp.asarray(m2l_gt),
         )
         bt["upload"] = _time.perf_counter() - t0
         self.last_build_times = bt
@@ -1242,31 +1294,59 @@ class KdFmmEngine:
         Mheap = _heap_off(L + 1)
 
         K = fs.m2l_tgt.shape[0]
-        chunk = _pick_chunk(K, self.m2l_chunk)
+        # grouped layout active iff the gtgt array matches this (possibly
+        # sharded) entry slice — parallel wrappers that re-pad entries
+        # without regrouping fall back to the per-entry scatter
+        g = self.m2l_group
+        grouped = g > 1 and fs.m2l_gtgt.shape[0] * g == K
+        chunk = _pick_chunk(K, self.m2l_chunk, g if grouped else 1)
         nch = K // chunk
 
         # per-step live data is ONLY the multipole gather; everything
         # geometric streams sequentially from the rebuild-time fold
         bc = fs.m2l_src.reshape(nch, chunk)
         vc = fs.m2l_valid.reshape(nch, chunk)
-        tac = jnp.minimum(
-            fs.m2l_tgt + (~fs.m2l_valid) * Mheap, Mheap).reshape(nch, chunk)
         h2c = fs.m2l_h2.reshape(nch, chunk, -1)
         wc = fs.m2l_w.reshape(nch, chunk)
         lgc = fs.m2l_logc.reshape(nch, chunk)
 
-        def m2l_body(acc, args):
-            bi, vv, ta, H2, w, logc = args
-            MbX = jnp.take(mpole_heap, bi, axis=0)         # [chunk, S_M]
-            La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
-            La = La * vv[:, None]
-            part = jax.ops.segment_sum(La, ta, num_segments=Mheap + 1,
-                                       indices_are_sorted=True)
-            return acc + part, None
+        if grouped:
+            # dense-reduce each g-run of same-target entries (cheap VPU
+            # reshape-sum), then a g-fold-smaller sorted segment_sum — the
+            # per-entry scatter+FMA combination measured 318 ms isolated
+            # vs 200 ms grouped at N=1M p=6 (scripts/m2l_micro.py)
+            gtc = fs.m2l_gtgt.reshape(nch, chunk // g)
+
+            def m2l_body(acc, args):
+                bi, vv, H2, w, logc, gta = args
+                MbX = jnp.take(mpole_heap, bi, axis=0)     # [chunk, S_M]
+                La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
+                La = La * vv[:, None]
+                La = La.reshape(-1, g, t.S_Lt).sum(axis=1)
+                part = jax.ops.segment_sum(La, gta,
+                                           num_segments=Mheap + 1,
+                                           indices_are_sorted=True)
+                return acc + part, None
+
+            xs = (bc, vc, h2c, wc, lgc, gtc)
+        else:
+            tac = jnp.minimum(
+                fs.m2l_tgt + (~fs.m2l_valid) * Mheap,
+                Mheap).reshape(nch, chunk)
+
+            def m2l_body(acc, args):
+                bi, vv, ta, H2, w, logc = args
+                MbX = jnp.take(mpole_heap, bi, axis=0)     # [chunk, S_M]
+                La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
+                La = La * vv[:, None]
+                part = jax.ops.segment_sum(La, ta, num_segments=Mheap + 1,
+                                           indices_are_sorted=True)
+                return acc + part, None
+
+            xs = (bc, vc, tac, h2c, wc, lgc)
 
         local_init = jnp.zeros((Mheap + 1, t.S_Lt), dtype)
-        local_heap, _ = jax.lax.scan(
-            m2l_body, local_init, (bc, vc, tac, h2c, wc, lgc))
+        local_heap, _ = jax.lax.scan(m2l_body, local_init, xs)
         return local_heap[:Mheap]
 
     def l2l_down(self, local_heap: jax.Array, fs: FmmState) -> jax.Array:

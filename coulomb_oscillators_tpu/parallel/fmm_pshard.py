@@ -49,6 +49,9 @@ class PShardLists(NamedTuple):
     m2l_h2: jax.Array                # [ndev, Km, S_H] folded geometry
     m2l_w: jax.Array                 # [ndev, Km]
     m2l_logc: jax.Array              # [ndev, Km]
+    m2l_gtgt: jax.Array              # [ndev, Km/g] grouped-M2L targets
+                                     # (group runs never straddle the even
+                                     # split: Km is a chunk multiple)
 
 
 def _signed_hop(dev_src: np.ndarray, dev_tgt: np.ndarray, ndev: int):
@@ -129,7 +132,10 @@ def shard_pair_lists(eng: KdFmmEngine, fs: FmmState, ndev: int,
         m2l_val=fs.m2l_valid.reshape(ndev, Kml),
         m2l_h2=fs.m2l_h2.reshape(ndev, Kml, -1),
         m2l_w=fs.m2l_w.reshape(ndev, Kml),
-        m2l_logc=fs.m2l_logc.reshape(ndev, Kml))
+        m2l_logc=fs.m2l_logc.reshape(ndev, Kml),
+        m2l_gtgt=fs.m2l_gtgt.reshape(ndev, -1)
+        if fs.m2l_gtgt.shape[0] % ndev == 0 and fs.m2l_gtgt.shape[0] > 1
+        else jnp.zeros((ndev, 1), jnp.int32))
     return lists, tuple(hops)
 
 
@@ -248,7 +254,8 @@ class PShardedKdFmm:
                                  m2l_valid=lists.m2l_val[0],
                                  m2l_h2=lists.m2l_h2[0],
                                  m2l_w=lists.m2l_w[0],
-                                 m2l_logc=lists.m2l_logc[0])
+                                 m2l_logc=lists.m2l_logc[0],
+                                 m2l_gtgt=lists.m2l_gtgt[0])
             local_heap = jax.lax.psum(eng._stage_m2l(mpole_heap, fs_m2l),
                                       axis)
             leaf_local = eng.l2l_down(local_heap, fs)             # [G, S_Lt]
@@ -288,7 +295,8 @@ class PShardedKdFmm:
             p2p_val=tuple(P(axis, None) for _ in hops),
             m2l_tgt=P(axis, None), m2l_src=P(axis, None),
             m2l_val=P(axis, None), m2l_h2=P(axis, None, None),
-            m2l_w=P(axis, None), m2l_logc=P(axis, None))
+            m2l_w=P(axis, None), m2l_logc=P(axis, None),
+            m2l_gtgt=P(axis, None))
         fs_spec = FmmState(**{f: P() for f in FmmState._fields})
         sharded = shard_map(
             impl, mesh=self.mesh,

@@ -48,6 +48,14 @@ def pad_pairs_for_mesh(fs: FmmState, ndev: int) -> FmmState:
         m2l_valid=pad1(fs.m2l_valid, False),
         m2l_h2=pad1(fs.m2l_h2, 0.0), m2l_w=pad1(fs.m2l_w, 1.0),
         m2l_logc=pad1(fs.m2l_logc, 0.0),
+        # grouped-M2L targets shard alongside the entries when the even
+        # split keeps g-runs intact; otherwise a dummy forces the
+        # per-entry fallback inside _stage_m2l
+        m2l_gtgt=(pad1(fs.m2l_gtgt, Mheap)
+                  if fs.m2l_gtgt.shape[0] % ndev == 0
+                  and fs.m2l_gtgt.shape[0] > 1
+                  and fs.m2l_tgt.shape[0] % ndev == 0
+                  else jnp.zeros(ndev, jnp.int32)),
     )
 
 
@@ -61,7 +69,7 @@ def make_sharded_force(eng: KdFmmEngine, mesh: Mesh, axis: str = "dp"):
 
     pair_fields = {"p2p_tgt", "p2p_src", "p2p_valid",
                    "m2l_tgt", "m2l_src", "m2l_valid",
-                   "m2l_h2", "m2l_w", "m2l_logc"}
+                   "m2l_h2", "m2l_w", "m2l_logc", "m2l_gtgt"}
     fs_specs = FmmState(**{
         f: P(axis) if f in pair_fields else P()
         for f in FmmState._fields})
