@@ -61,7 +61,11 @@ SEARCH_R = [1.11, 1.25, 1.43, 1.67, 2.0, 2.5, 3.0]
 SEARCH_BOOST = [1.5, 1.3, 1.15, 1.0]
 
 TUNED_PATH = os.path.join(REPO, "BENCH_TUNED.json")
-DEFAULT_TUNED = {"p": 6, "r": 1.67, "boost": 1.5}
+DEFAULT_TUNED = {"p": 6, "r": 1.67, "boost": 1.5,
+                 # production rebuild cadence (scripts/cadence_probe.py):
+                 # window length, FULL re-sorts every K boundaries (exact
+                 # geometry refreshes between), adoption pipeline depth
+                 "tree_steps": 8, "resort_every": 1, "pipeline": 2}
 # refinement candidates probed after the tuned headline exists, in order.
 # Round-4 probe sweep (all at N=1M vs the cached Kahan oracle):
 #   p=6 r=1.67 b=1.5: err 3.3e-4, force 0.380 s, rebuild 1.21 s  <- tuned
@@ -348,15 +352,23 @@ def final_timing(p, r, err, n=N_HEAD, early_stop_s=0.0, boost=None):
     from coulomb_oscillators_tpu import SimConfig
     from coulomb_oscillators_tpu.simulate import Simulator
 
-    # tree_pipeline=2: adopt each rebuild two window boundaries after its
-    # snapshot — the background rebuild (position fetch + host kd +
-    # traversal) gets a 2-window wall budget, so tunnel-transport variance
-    # cannot stall the device at boundaries (measured 2-4 s stalls per
-    # boundary at depth 1 on slow-transport sessions).  Max staleness
-    # tree_steps*3 = 24 steps; window-end error stays under the bound
-    # (scripts/tree_steps_probe.py).
+    # Production cadence from BENCH_TUNED.json via env (parent publishes
+    # through _cadence_env).  pipeline>=2: adopt each rebuild two window
+    # boundaries after its snapshot — the background rebuild (position
+    # fetch + host kd + traversal) gets a multi-window wall budget, so
+    # tunnel-transport variance cannot stall the device at boundaries
+    # (measured 2-4 s stalls per boundary at depth 1).  resort_every=K
+    # runs the FULL host re-sort only every K boundaries with exact
+    # geometry/list refreshes between — the single host CPU cannot feed a
+    # full rebuild per boundary (scripts/cadence_probe.py measures the
+    # cadence grid; staleness error stays under the bound).
+    ts = int(os.environ.get("CO_BENCH_TS", "8"))
+    resort = int(os.environ.get("CO_BENCH_RESORT", "1"))
+    pipe = int(os.environ.get("CO_BENCH_PIPE", "2"))
     config = SimConfig().replace(fmm_order=p, tree_radius=r,
-                                 tree_pipeline=2)
+                                 tree_steps=ts,
+                                 tree_resort_every=resort,
+                                 tree_pipeline=pipe)
     # surface recompiles in the timing log: a cap growth reshapes the scan
     # and a compile landing inside a timed window is the #1 source of
     # outlier windows
@@ -448,14 +460,33 @@ def _run_child(args, timeout_s=None, retries=0):
     return rows, rc
 
 
+def _tuned_raw() -> dict:
+    try:
+        with open(TUNED_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def _load_tuned():
     try:
         with open(TUNED_PATH) as f:
             t = json.load(f)
         return {"p": int(t["p"]), "r": float(t["r"]),
-                "boost": float(t.get("boost", 1.5))}
+                "boost": float(t.get("boost", 1.5)),
+                "tree_steps": int(t.get("tree_steps", 8)),
+                "resort_every": int(t.get("resort_every", 1)),
+                "pipeline": int(t.get("pipeline", 2))}
     except Exception:
         return dict(DEFAULT_TUNED)
+
+
+def _cadence_env(tuned) -> None:
+    """Publish the tuned production cadence to child phases (env survives
+    the subprocess boundary; final_timing reads it)."""
+    os.environ["CO_BENCH_TS"] = str(tuned.get("tree_steps", 8))
+    os.environ["CO_BENCH_RESORT"] = str(tuned.get("resort_every", 1))
+    os.environ["CO_BENCH_PIPE"] = str(tuned.get("pipeline", 2))
 
 
 def _score(row, tree_steps):
@@ -480,6 +511,15 @@ def _emit(best, cfg, probes, finals, note=""):
             "sec_per_step_median": round(med, 4),
             "sec_per_step_all": [round(t, 4) for t in best["times"]],
             "tree_steps": cfg.tree_steps, "integrator": cfg.integrator,
+            "resort_every": cfg.tree_resort_every,
+            "pipeline": cfg.tree_pipeline,
+            # force error at the very END of a reuse window (maximal tree
+            # staleness) at the shipped cadence, from the cadence probe —
+            # the 1e-3 bound applies to the fresh-tree tuning error
+            # (reference -accuracy methodology); staleness is the
+            # documented temporal-amortization trade
+            # (scripts/cadence_probe.py, README drift/staleness section)
+            "stale_window_err": _tuned_raw().get("stale_window_err"),
             "vs_baseline_meaning": "ratio to round-2 headline 2.83M "
                                    "psteps/s (reference publishes none)",
             "probes": probes,
@@ -513,6 +553,10 @@ def main():
 
     # ---- phase 1: tuned headline ----
     tuned = _load_tuned()
+    _cadence_env(tuned)
+    cfg = cfg.replace(tree_steps=tuned["tree_steps"],
+                      tree_resort_every=tuned["resort_every"],
+                      tree_pipeline=tuned["pipeline"])
     tried_cfgs = [tuned]
     # over-bound fallback ladder: stiffen the sub-leaf MAC, then shrink r
     for fb in ({"p": tuned["p"], "r": tuned["r"], "boost": 2.0},
@@ -605,11 +649,15 @@ def main():
           note=f"budget {budget:.0f}s, used {time.monotonic() - t_begin:.0f}s")
     # persist the winner so the next run's phase 1 starts at it
     try:
+        persisted = _tuned_raw()   # keep stale_window_err / note fields
+        persisted.update({"p": best["p"], "r": best["r"],
+                          "boost": best["boost"], "err": best["err"],
+                          "tree_steps": tuned["tree_steps"],
+                          "resort_every": tuned["resort_every"],
+                          "pipeline": tuned["pipeline"],
+                          "median_s_per_step": round(best["median"], 4)})
         with open(TUNED_PATH, "w") as f:
-            json.dump({"p": best["p"], "r": best["r"],
-                       "boost": best["boost"], "err": best["err"],
-                       "median_s_per_step": round(best["median"], 4)}, f,
-                      indent=1)
+            json.dump(persisted, f, indent=1)
     except OSError:
         pass
 

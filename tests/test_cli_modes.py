@@ -27,6 +27,7 @@ def test_simulate_snapshot_resume_roundtrip(tmp_path, capsys):
     assert pos.shape == (256, 3) and np.isfinite(pos).all()
 
 
+@pytest.mark.slow
 def test_test_mode_sweeps_orders(capsys):
     # -maxlevel forces a real far field at this small N (at auto level the
     # tree has ~4 leaves and every pair is P2P, so all orders tie)
@@ -53,6 +54,7 @@ def test_test2_mode_reuse_drift(capsys):
     assert all(np.isfinite(errs)) and max(errs) < 1.0
 
 
+@pytest.mark.slow
 def test_accuracy_autotune(capsys):
     rc = cli.main(["-accuracy", "0.05", "-n", "400", "-iters", "1",
                    "-steps", "1", "-engine", "fmm3_kd", "-o", "/tmp/accq"])

@@ -31,6 +31,7 @@ def setup():
     return config, n, pos, vel, eng, fs
 
 
+@pytest.mark.slow
 def test_force_matches_single_device(setup):
     config, n, pos, vel, eng, fs = setup
     mesh = PM.make_mesh(8)

@@ -69,6 +69,7 @@ def test_appel_error_scale_invariant_in_depth():
     assert errs[1] < 0.12, errs
 
 
+@pytest.mark.slow
 def test_radius_knob_improves_accuracy():
     """-r 2 must be measurably more accurate than r=1 on the uniform-grid
     engines (the reference's tree_radius knob, appel.cuh:260-381: a wider
