@@ -52,43 +52,10 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         f.write(chunk(b"IEND", b""))
 
 
-# 5x7 bitmap digits (row-major, MSB = leftmost column) — the headless
-# stand-in for the reference's FreeType glyph atlas (Graphics/Font.hpp:40-358)
-_DIGITS = {
-    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
-    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
-    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
-    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
-    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
-    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
-    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
-    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
-    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
-    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
-}
-
-
-def draw_text(img: np.ndarray, text: str, x: int, y: int,
-              color=(0, 255, 0), scale: int = 2) -> None:
-    """Overlay `text` (digits) at (x, y) from the BOTTOM-LEFT corner —
-    the reference draws the iteration counter at GL coords (24, 24) in
-    green (Graphics/main.cpp:214-219)."""
-    side = img.shape[0]
-    cx = x
-    for ch in text:
-        glyph = _DIGITS.get(ch)
-        if glyph is None:
-            cx += 6 * scale
-            continue
-        for r, bits in enumerate(glyph):
-            for c in range(5):
-                if (bits >> (4 - c)) & 1:
-                    py = side - y - (7 - r) * scale
-                    px = cx + c * scale
-                    if (0 <= py and py + scale <= side
-                            and 0 <= px and px + scale <= img.shape[1]):
-                        img[py:py + scale, px:px + scale] = color
-        cx += 6 * scale
+# full printable-ASCII 5x7 text engine — the headless equivalent of the
+# reference's FreeType atlas + Text quads (Graphics/Font.hpp:40-358)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from coulomb_oscillators_tpu.utils.font import draw_text  # noqa: E402
 
 
 def render_frame(pos: np.ndarray, scale: float = REF_SCALE,
@@ -136,6 +103,9 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=10_000)
     ap.add_argument("--no-overlay", action="store_true",
                     help="disable the iteration-number overlay")
+    ap.add_argument("--label", default=None,
+                    help="extra text drawn top-left (any printable ASCII; "
+                         "'{it}'/'{t}' expand to iteration / sim time)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -160,6 +130,9 @@ def main(argv=None):
         img = render_frame(pos, scale)
         if not args.no_overlay:
             draw_text(img, str(it), 24, 24)   # main.cpp:214-219 parity
+        if args.label:
+            text = args.label.format(it=it, t=it * args.dt)
+            draw_text(img, text, 8, img.shape[0] - 24, scale=2)
         out = os.path.join(args.outdir, f"image{k}.png")
         write_png(out, img)
         rendered += 1
