@@ -95,6 +95,34 @@ def main():
                            min_loop=2.0)
     print(f"gather   : {tt * 1e3:8.2f} ms", flush=True)
 
+    # ---- gather with padded row layouts: is the 53-f32 (212 B) row the
+    # issue-rate problem?  TPU vregs are (8, 128); a row that is a whole
+    # number of 128-lane vectors may let XLA's gather run at stream rates
+    # instead of ~21M rows/s ----
+    for pad_w in (64, 128):
+        hp = jnp.zeros((Mheap, pad_w), mh.dtype)
+
+        @jax.jit
+        def gather_pad(h, bc, hp=hp, pad_w=pad_w):
+            hw = jax.lax.dynamic_update_slice(hp, h, (0, 0))
+            hw = jax.lax.optimization_barrier(hw)   # keep the pad material
+            def body(acc, args):
+                bi, = args
+                MbX = jnp.take(hw, bi, axis=0)
+                return acc + jnp.sum(MbX[:, :t.S_M], axis=0), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((t.S_M,), h.dtype), (bc,))
+            return acc
+        tt = test_time_chained(chain(lambda h: gather_pad(h, bc)), mh,
+                               min_loop=2.0)
+        print(f"gather{pad_w:<3d}: {tt * 1e3:8.2f} ms", flush=True)
+
+    # ---- gather with SORTED indices (what a source-major layout buys) ----
+    bc_sorted = jnp.sort(bc, axis=1)
+
+    tt = test_time_chained(chain(lambda h: gather_impl(h, bc_sorted)), mh,
+                           min_loop=2.0)
+    print(f"gathersrt: {tt * 1e3:8.2f} ms", flush=True)
+
     # ---- gather + FMAs, no scatter ----
     @jax.jit
     def compute_impl(h, bc, vc, h2c, wc, lgc):
