@@ -44,12 +44,12 @@ class AppelEngine:
     """Monopole tree-code engine (engine name: "appel").
 
     The near-field neighbourhood and the c2c exclusion window scale with
-    the integer interaction radius R = round(config.tree_radius), clamped
-    to {1, 2} — the reference's ``-radius`` knob (appel.cuh:260-381 passes
+    the integer interaction radius R = round(config.tree_radius), any
+    R >= 1 — the reference's ``-radius`` knob (appel.cuh:260-381 passes
     it into p2p2/p2p3 and c2c2 as the neighbourhood half-width).  R=2
     roughly halves the worst-case opening ratio of the monopole stencil,
-    trading a 5^dim near field for measurably lower force error
-    (tests/test_octree.py)."""
+    trading a (2R+1)^dim near field for measurably lower force error
+    (tests/test_octree.py, monotone through R=3)."""
 
     def __init__(self, config: SimConfig, n: int, L: Optional[int] = None,
                  cell_cap: int = 0):
@@ -60,7 +60,7 @@ class AppelEngine:
         # a similar density-based choice)
         self.L = L or oc.auto_level_octree(n, 2, self.dim,
                                            config.dens_inhom, config.tree_L)
-        self.R = min(max(int(round(config.tree_radius)), 1), 2)
+        self.R = max(int(round(config.tree_radius)), 1)
         self.levels, self.offsets, self.nbrs = _grid_static(self.dim, self.L,
                                                             self.R)
         self.cell_cap = cell_cap

@@ -135,11 +135,14 @@ class OctreeFmmEngine:
         self.L = L or auto_level_octree(n, self.p, self.dim,
                                         config.dens_inhom, config.tree_L)
         self.tables = build_tables(self.dim, self.p)
-        # integer interaction radius (the -r flag, appel.cuh:260-381):
-        # R=2 doubles the near neighbourhood and pushes the M2L window out
-        # to |o| in (2, 5], roughly halving the worst-case opening ratio —
-        # measurably more accurate at the same p (tests/test_octree.py)
-        self.R = min(max(int(round(config.tree_radius)), 1), 2)
+        # integer interaction radius (the -r flag, appel.cuh:260-381): any
+        # integer R >= 1, as in the reference's neighbourhood loops.  R=2
+        # doubles the near neighbourhood and pushes the M2L window out to
+        # |o| in (2, 5], roughly halving the worst-case opening ratio —
+        # measurably more accurate at the same p (tests/test_octree.py,
+        # monotone through R=3).  Cost: (4R+3)^dim - (2R+1)^dim stencil
+        # classes in the M2L lax.scan, so compile time grows ~R^dim.
+        self.R = max(int(round(config.tree_radius)), 1)
         self.levels, self.offsets, self.nbrs = _grid_static(self.dim, self.L,
                                                             self.R)
         self.cell_cap = cell_cap  # 0 = choose at build

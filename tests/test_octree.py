@@ -92,6 +92,32 @@ def test_radius_knob_improves_accuracy():
     assert a2 < a1 * 0.6, (a1, a2)
 
 
+@pytest.mark.slow
+def test_radius_any_integer():
+    """R=3 — beyond the round-3 {1,2} clamp — keeps improving accuracy,
+    matching the reference's arbitrary integer -radius (appel.cuh:260-381
+    loops over any half-width).  2D keeps it fast: the M2L stencil-class
+    count grows as (4R+3)^dim - (2R+1)^dim."""
+    from coulomb_oscillators_tpu.ops.fmm.appel import AppelEngine
+    cfg = SimConfig(dim=2, omega0=(1.095, 1.0))
+    pos = _uniform(2)
+    ref = D.direct_kahan(pos, cfg.eps2, cfg.kappa(N))
+
+    def err(eng):
+        return float(mean_rel_err(eng.force(pos, eng.build(pos)), ref))
+
+    errs = [err(AppelEngine(cfg.replace(tree_radius=float(R)), N, L=4))
+            for R in (1, 2, 3)]
+    assert AppelEngine(cfg.replace(tree_radius=3.0), N, L=4).R == 3
+    assert errs[1] < errs[0] and errs[2] < errs[1], errs
+    o3 = OctreeFmmEngine(cfg.replace(fmm_order=4, tree_radius=3.0), N, L=4)
+    assert o3.R == 3
+    e3 = err(o3)
+    e1 = err(OctreeFmmEngine(cfg.replace(fmm_order=4, tree_radius=1.0),
+                             N, L=4))
+    assert e3 < e1 * 0.5, (e1, e3)
+
+
 def test_octree_engine_registry():
     from coulomb_oscillators_tpu.ops.fmm import make_engine_object
     cfg = SimConfig()
