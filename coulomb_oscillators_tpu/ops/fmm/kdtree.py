@@ -911,6 +911,62 @@ class KdFmmEngine:
             fs.inv_perm if inv_perm is None else inv_perm,
             center, lam, m2l, p2p, bt)
 
+    def refresh_geometry_device(self, ppad: jax.Array,
+                                fs: FmmState) -> FmmState:
+        """Device-only geometry refresh: recompute node centers / length
+        scales from the CURRENT padded positions and re-fold the per-entry
+        M2L geometry, keeping the permutation AND the pair lists frozen.
+
+        Rationale (round-5 staleness anatomy): the within-window force
+        error at the production cadence comes overwhelmingly from frozen
+        expansion GEOMETRY — multipoles are re-P2M'd from live positions
+        every step, but about centers (and with M2L harmonics) computed at
+        the last host rebuild, so the expansion convergence degrades as
+        particles drift.  The pair lists themselves are robust: a stale
+        acceptance set only mis-budgets the MAC margin (boost probe:
+        2.78e-2 vs 2.87e-2 at 2x margin).  Refreshing geometry needs no
+        host round-trip and no list change, so it can run between scan
+        segments INSIDE a reuse window (cost: one [G, C] reduce + heap
+        sweep + h2 re-fold over the entry cap).
+
+        The reference has no analogue — its tree reuse freezes everything
+        (fmm_cart3_kdtree.cuh:1619-1642); this is the TPU-native upgrade
+        that makes long reuse windows hold a production error bound.
+        """
+        fn = getattr(self, "_geom_refresh_cached", None)
+        if fn is None:
+            mask = self.mask3[..., None]
+            L = self.L
+            multf = jnp.asarray(
+                np.maximum(self.st.mult, 1).astype(np.float32))
+
+            @jax.jit
+            def geom_refresh(ppad, fs):
+                mn = jnp.min(jnp.where(mask, ppad, jnp.float32(3e38)),
+                             axis=1)
+                mx = jnp.max(jnp.where(mask, ppad, jnp.float32(-3e38)),
+                             axis=1)
+                sm = jnp.sum(jnp.where(mask, ppad, 0.0), axis=1)
+                lmn, lmx, lsm = [mn], [mx], [sm]
+                for _ in range(L):
+                    a, b, c = lmn[-1], lmx[-1], lsm[-1]
+                    lmn.append(jnp.minimum(a[0::2], a[1::2]))
+                    lmx.append(jnp.maximum(b[0::2], b[1::2]))
+                    lsm.append(c[0::2] + c[1::2])
+                mnh = jnp.concatenate(lmn[::-1])
+                mxh = jnp.concatenate(lmx[::-1])
+                smh = jnp.concatenate(lsm[::-1])
+                center = smh / multf[:, None]
+                lam = jnp.maximum(
+                    0.5 * jnp.linalg.norm(mxh - mnh, axis=1), 1e-30)
+                h2, w, logc = self._m2l_geo_jit(
+                    center, lam, fs.m2l_tgt, fs.m2l_src, fs.m2l_valid)
+                return fs._replace(center=center, lam=lam, m2l_h2=h2,
+                                   m2l_w=w, m2l_logc=logc)
+
+            fn = self._geom_refresh_cached = geom_refresh
+        return fn(ppad, fs)
+
     @property
     def _leaf_stats_jit(self):
         fn = getattr(self, "_leaf_stats_cached", None)
@@ -1099,8 +1155,16 @@ class KdFmmEngine:
         e = (pblk.reshape(Gb, nsub, C, self.dim) - leafc) / lamB[..., None]
         e = jnp.where(maskB.reshape(Gb, nsub, C)[..., None], e, 0.0)
         e = e.reshape(Gb, CB, self.dim)
-        # one set of monomial columns feeds BOTH P2M and L2P
         Vcols = mop.eval_monomial_cols(e, t.PL, t.dim)     # list of [Gb, CB]
+        # L2P recomputes its monomial columns from a CSE-barrier'd copy of
+        # the offsets: sharing ONE materialized column set between P2M and
+        # L2P forces XLA to spill all ~S_Lf [Gb, CB] columns to HBM and
+        # re-read them per output dim (~1.3 GB/eval — the round-4
+        # fusion.12776, 28 ms device, docs/ROOFLINE.md).  The monomial DAG
+        # is ~100 cheap VPU ops per lane; duplicating it lets each
+        # consumer fuse it inline and the columns never materialize.
+        e_l2p = jax.lax.optimization_barrier(e)
+        Vcols_l2p = mop.eval_monomial_cols(e_l2p, t.PL, t.dim)
 
         # --- P2M (block layout; masked offsets are 0, so only the order-0
         # column needs masking — its sum is the static sub-leaf count) ------
@@ -1127,7 +1191,7 @@ class KdFmmEngine:
             acc = None
             for (j, k, c) in terms[a]:
                 lj = (dtype.type(c) * LfB[:, :, j])[:, :, None]  # [Gb,nsub,1]
-                term = (lj * Vcols[k].reshape(Gb, nsub, C)).reshape(Gb, CB)
+                term = (lj * Vcols_l2p[k].reshape(Gb, nsub, C)).reshape(Gb, CB)
                 acc = term if acc is None else acc + term
             outs.append(acc)
         lam_div = lamB[..., None]                          # [Gb, nsub, 1, 1]

@@ -80,6 +80,37 @@ def main():
               f"max={int(w.max())}; tgt-window p50={int(np.percentile(wt, 50))} "
               f"p99={int(np.percentile(wt, 99))} max={int(wt.max())}")
 
+    # (lev_t, lev_s, t, s) bucketed ordering — the round-5 windowed-gather
+    # candidate: within one (target level, source level) bucket sorted by
+    # target, consecutive entries have contiguous targets AND spatially
+    # local sources (kd in-level order is spatial), so BOTH windows are
+    # bounded.  Chunks are padded to bucket boundaries, so also report the
+    # bucket-padding waste per chunk size.
+    lev_t = np.searchsorted(offs, tv, side="right") - 1
+    order2 = np.lexsort((sv, tv, lev, lev_t))
+    s3 = sv[order2]
+    t3 = tv[order2]
+    key_b = lev_t[order2] * 64 + lev[order2]
+    bnd = np.flatnonzero(np.diff(key_b)) + 1
+    bounds = np.concatenate([[0], bnd, [K]])
+    nbuckets = len(bounds) - 1
+    print(f"(lev_t,lev_s) buckets with entries: {nbuckets}")
+    for chunk in (1024, 2048, 4096, 8192):
+        sw, tw, padded = [], [], 0
+        for b in range(nbuckets):
+            lo, hi = bounds[b], bounds[b + 1]
+            kb = hi - lo
+            padded += -(-kb // chunk) * chunk
+            for c0 in range(lo, hi, chunk):
+                c1 = min(c0 + chunk, hi)
+                sw.append(int(s3[c0:c1].max() - s3[c0:c1].min() + 1))
+                tw.append(int(t3[c0:c1].max() - t3[c0:c1].min() + 1))
+        sw, tw = np.array(sw), np.array(tw)
+        print(f"chunk={chunk:5d} (lev-bucketed): src-window p50={int(np.percentile(sw,50))} "
+              f"p90={int(np.percentile(sw,90))} p99={int(np.percentile(sw,99))} "
+              f"max={sw.max()}; tgt-window p99={int(np.percentile(tw,99))} "
+              f"max={tw.max()}; bucket-pad waste={(padded-K)/K:.3f}")
+
 
 if __name__ == "__main__":
     main()

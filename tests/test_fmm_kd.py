@@ -168,3 +168,33 @@ def test_fmm_potential_vs_direct(beam):
     phiref = cfg.kappa(N) * (1.0 / r).sum(1)
     err = np.abs(np.asarray(phi) - phiref) / np.abs(phiref)
     assert err.mean() < 2e-3, err.mean()
+
+
+def test_geom_refresh_device_matches_build(beam, config):
+    """refresh_geometry_device on UNMOVED positions reproduces the build's
+    geometry (same center/lam definitions: COC + half-diagonal), so the
+    force is unchanged; on MOVED positions it recovers most of the frozen-
+    geometry error while keeping the pair lists bitwise-frozen."""
+    pos, vel = beam
+    eng = KdFmmEngine(config, N)
+    fs = eng.build(pos)
+    ppad = eng._pad_jit(pos, fs)
+    fs_g = eng.refresh_geometry_device(ppad, fs)
+    # lists frozen (jit round-trips buffers, so compare values)
+    assert np.array_equal(np.asarray(fs_g.m2l_tgt), np.asarray(fs.m2l_tgt))
+    assert np.array_equal(np.asarray(fs_g.p2p_src), np.asarray(fs.p2p_src))
+    a0 = eng.force(pos, fs)
+    a1 = eng.force(pos, fs_g)
+    dev = float(jnp.max(jnp.abs(a0 - a1)) / jnp.max(jnp.abs(a0)))
+    assert dev < 1e-4, dev
+
+    # move particles (a few % of the beam size), geometry-stale vs refreshed
+    rng = np.random.default_rng(3)
+    pos2 = pos + jnp.asarray(
+        rng.normal(size=pos.shape).astype(np.float32)) * 2e-4
+    ref = D.direct_kahan(pos2, config.eps2, config.kappa(N))
+    ppad2 = eng._pad_jit(pos2, fs)
+    err_stale = float(mean_rel_err(eng.force(pos2, fs), ref))
+    fs_g2 = eng.refresh_geometry_device(ppad2, fs)
+    err_geo = float(mean_rel_err(eng.force(pos2, fs_g2), ref))
+    assert err_geo < err_stale, (err_geo, err_stale)
