@@ -95,6 +95,19 @@ class SimConfig:
                                   # (TPU extension, see KdFmmEngine); 0 = auto
                                   # (1.5 throughput-tuned, or 2.0 when
                                   # `accuracy` < 1e-4)
+    geom_refresh: bool = True     # TPU extension: recompute expansion
+                                  # geometry (node centers/length scales +
+                                  # folded M2L harmonics) from CURRENT
+                                  # positions on device at every force eval
+                                  # of the padded window scan, lists frozen.
+                                  # Removes the frozen-geometry component of
+                                  # the within-window stale force error that
+                                  # dominates long reuse windows (the
+                                  # reference freezes everything between
+                                  # rebuilds, fmm_cart3_kdtree.cuh:1619-1642,
+                                  # and eats the drift).  Cost: one [G,C]
+                                  # reduce + heap sweep + M2L geometry
+                                  # re-fold per step, a few ms at N=1M.
 
     # --- integration -------------------------------------------------------
     dt: float = 5e-4              # main3.cu:231

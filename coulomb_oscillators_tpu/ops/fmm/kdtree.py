@@ -935,37 +935,35 @@ class KdFmmEngine:
         """
         fn = getattr(self, "_geom_refresh_cached", None)
         if fn is None:
-            mask = self.mask3[..., None]
-            L = self.L
-            multf = jnp.asarray(
-                np.maximum(self.st.mult, 1).astype(np.float32))
-
-            @jax.jit
-            def geom_refresh(ppad, fs):
-                mn = jnp.min(jnp.where(mask, ppad, jnp.float32(3e38)),
-                             axis=1)
-                mx = jnp.max(jnp.where(mask, ppad, jnp.float32(-3e38)),
-                             axis=1)
-                sm = jnp.sum(jnp.where(mask, ppad, 0.0), axis=1)
-                lmn, lmx, lsm = [mn], [mx], [sm]
-                for _ in range(L):
-                    a, b, c = lmn[-1], lmx[-1], lsm[-1]
-                    lmn.append(jnp.minimum(a[0::2], a[1::2]))
-                    lmx.append(jnp.maximum(b[0::2], b[1::2]))
-                    lsm.append(c[0::2] + c[1::2])
-                mnh = jnp.concatenate(lmn[::-1])
-                mxh = jnp.concatenate(lmx[::-1])
-                smh = jnp.concatenate(lsm[::-1])
-                center = smh / multf[:, None]
-                lam = jnp.maximum(
-                    0.5 * jnp.linalg.norm(mxh - mnh, axis=1), 1e-30)
-                h2, w, logc = self._m2l_geo_jit(
-                    center, lam, fs.m2l_tgt, fs.m2l_src, fs.m2l_valid)
-                return fs._replace(center=center, lam=lam, m2l_h2=h2,
-                                   m2l_w=w, m2l_logc=logc)
-
-            fn = self._geom_refresh_cached = geom_refresh
+            fn = self._geom_refresh_cached = jax.jit(self.geom_refresh_in_jit)
         return fn(ppad, fs)
+
+    def geom_refresh_in_jit(self, ppad: jax.Array, fs: FmmState) -> FmmState:
+        """Traceable body of :meth:`refresh_geometry_device` — usable
+        inside the production window scan (Simulator's geom_refresh knob)
+        so every force eval sees expansion geometry computed from CURRENT
+        positions while lists/permutation stay frozen."""
+        mask = self.mask3[..., None]
+        multf = jnp.asarray(np.maximum(self.st.mult, 1).astype(np.float32))
+        mn = jnp.min(jnp.where(mask, ppad, jnp.float32(3e38)), axis=1)
+        mx = jnp.max(jnp.where(mask, ppad, jnp.float32(-3e38)), axis=1)
+        sm = jnp.sum(jnp.where(mask, ppad, 0.0), axis=1)
+        lmn, lmx, lsm = [mn], [mx], [sm]
+        for _ in range(self.L):
+            a, b, c = lmn[-1], lmx[-1], lsm[-1]
+            lmn.append(jnp.minimum(a[0::2], a[1::2]))
+            lmx.append(jnp.maximum(b[0::2], b[1::2]))
+            lsm.append(c[0::2] + c[1::2])
+        mnh = jnp.concatenate(lmn[::-1])
+        mxh = jnp.concatenate(lmx[::-1])
+        smh = jnp.concatenate(lsm[::-1])
+        center = smh / multf[:, None]
+        lam = jnp.maximum(
+            0.5 * jnp.linalg.norm(mxh - mnh, axis=1), 1e-30)
+        h2, w, logc = self._m2l_geo_jit(
+            center, lam, fs.m2l_tgt, fs.m2l_src, fs.m2l_valid)
+        return fs._replace(center=center, lam=lam, m2l_h2=h2,
+                           m2l_w=w, m2l_logc=logc)
 
     @property
     def _leaf_stats_jit(self):

@@ -107,13 +107,24 @@ class Simulator:
     def _make_fmm_scan_padded(self):
         """Inter-rebuild scan on padded [G, C, dim] leaf blocks: zero
         per-step N-row gathers (the TPU-native b_unsort=false,
-        fmm_cart3_kdtree.cuh:1746-1760)."""
+        fmm_cart3_kdtree.cuh:1746-1760).
+
+        With config.geom_refresh (default), every force eval first
+        recomputes expansion geometry from the live positions on device
+        (KdFmmEngine.geom_refresh_in_jit) — lists stay frozen, but node
+        centers/scales and the folded M2L harmonics track the particles, so
+        the within-window stale force error stays near the fresh-tree bound
+        instead of growing with particle drift."""
         eng = self._fmm
         cfg = self.config
         omega0_sq = self.omega0_sq
         mask3 = eng.mask3[..., None]
+        geo = bool(getattr(cfg, "geom_refresh", False)) and \
+            hasattr(eng, "geom_refresh_in_jit")
 
         def force(ppad, fstate):
+            if geo:
+                fstate = eng.geom_refresh_in_jit(ppad, fstate)
             acc = eng.force_padded_in_jit(ppad, fstate)
             acc = add_elastic(ppad, acc, omega0_sq)
             # pad slots park at FAR: their trap term is huge — zero it so

@@ -55,8 +55,12 @@ def main():
     from coulomb_oscillators_tpu.simulate import Simulator
     from coulomb_oscillators_tpu.utils.timing import test_time_chained
 
+    # geom_refresh off: the probe measures the FROZEN-geometry production
+    # cadence ("prod") against selectively-fresh state; the in-scan
+    # refresh that this probe motivated is config.geom_refresh (default on)
     cfg = SimConfig(fmm_order=p, tree_radius=r, tree_steps=ts,
-                    tree_resort_every=K, tree_pipeline=Dp)
+                    tree_resort_every=K, tree_pipeline=Dp,
+                    geom_refresh=False)
     x = (0.003, 0.001, 0.01)
     u = tuple(w * xs for w, xs in zip(cfg.omega0, x))
     pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
@@ -84,8 +88,9 @@ def main():
     # cost of the device geometry refresh program (the production lever)
     fs0 = sim._fstate
     gcost = test_time_chained(
-        lambda pp: eng.refresh_geometry_device(pp, fs0).center * 1e-30
-        + pp[:1, :1, :1].sum(), sim._padded.pos, min_loop=2.0)
+        lambda pp: pp
+        + eng.refresh_geometry_device(pp, fs0).center.sum() * 1e-30,
+        sim._padded.pos, min_loop=2.0)
     print(f"refresh_geometry_device: {gcost * 1e3:.1f} ms/call", flush=True)
 
     rows = []

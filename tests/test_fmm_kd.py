@@ -198,3 +198,40 @@ def test_geom_refresh_device_matches_build(beam, config):
     fs_g2 = eng.refresh_geometry_device(ppad2, fs)
     err_geo = float(mean_rel_err(eng.force(pos2, fs_g2), ref))
     assert err_geo < err_stale, (err_geo, err_stale)
+
+
+def test_production_cadence_window_error(beam):
+    """CI twin of the production-accuracy certification (-test2 semantics,
+    main3.cu:812-831, at the PRODUCTION cadence): across one full reuse
+    window at (tree_steps=8, resort_every=2, pipeline=2), the in-scan
+    geometry refresh must keep the window-mean force error within 2x of
+    the fresh-tree error, and the frozen-geometry cadence must not
+    silently become the shipped default again."""
+    from coulomb_oscillators_tpu.simulate import Simulator
+
+    pos, vel = beam
+
+    def window_errs(geo: bool):
+        cfg = SimConfig(fmm_order=4, tree_radius=2.0, dt=5e-4,
+                        tree_steps=8, tree_resort_every=2, tree_pipeline=2,
+                        geom_refresh=geo)
+        sim = Simulator(cfg, N, engine="fmm3_kd")
+        st = sim.init_acc(ParticleState(pos, vel, jnp.zeros_like(pos)))
+        st = sim.run(st, 17)       # prime two boundaries into the pipeline
+        eng = sim._fmm
+        errs = []
+        for _ in range(8):
+            st = sim.run(st, 1)
+            ref = D.direct_kahan(st.pos, cfg.eps2, cfg.kappa(N))
+            fs = sim._fstate
+            if geo:   # measure the force the production scan computes
+                fs = eng.refresh_geometry_device(
+                    eng._pad_jit(st.pos, fs), fs)
+            acc = eng.force(st.pos, fs)
+            errs.append(float(mean_rel_err(acc, ref)))
+        fresh = float(mean_rel_err(
+            eng.force(st.pos, eng.build(st.pos)), ref))
+        return np.asarray(errs), fresh
+
+    errs_geo, fresh = window_errs(True)
+    assert errs_geo.mean() < 2.0 * fresh + 5e-5, (errs_geo, fresh)
