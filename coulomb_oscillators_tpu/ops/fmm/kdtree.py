@@ -517,7 +517,9 @@ class KdFmmEngine:
         self._m2l_geo_jit = m2l_geo
         self.m2l_chunk = m2l_chunk
         self.p2p_chunk = p2p_chunk
-        self.sort_mode = sort_mode
+        # env override for cadence probing (scripts/cadence_probe.py):
+        # "auto" | "kd_native" | "morton" | "kd_device"
+        self.sort_mode = os.environ.get("CO_SORT_MODE", sort_mode)
         # force() runs pad / padded-pipeline / unpad as THREE XLA programs:
         # compiling the unpad gathers into the same program as the Pallas
         # near field faults the TPU at some (G, C) shapes (see unpad_array);

@@ -35,18 +35,27 @@ from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 COMBOS = [
-    # (tree_steps, resort_every, pipeline)
-    (8, 1, 2),     # bench round-4 shipping config
-    (8, 4, 2),     # refresh between re-sorts
-    (16, 1, 2),
-    (16, 2, 2),
-    (16, 4, 2),    # full job gets 2 long windows; 3 cheap refreshes between
-    (16, 4, 3),
+    # (tree_steps, resort_every, pipeline[, geom_refresh, builder])
+    # builder: "host" = native kd quickselect (build_host_padded),
+    #          "kd_device" = exact equal-count kd on device (2-key
+    #          lax.sort/level, _build_device) + host traversal on fetched
+    #          bounds — VERDICT r4 item 5,
+    #          "morton" = device Morton (loose leaves on beams)
+    (16, 2, 2, 1, "host"),    # round-4 ship + in-scan geometry refresh
+    (16, 2, 2, 0, "host"),    # round-4 ship exactly
+    (16, 1, 2, 1, "kd_device"),
+    (8, 1, 2, 1, "kd_device"),
+    (8, 1, 1, 1, "kd_device"),
 ]
-# env override, e.g. CO_CADENCE_COMBOS="8,4,2;16,4,2"
+# env override, e.g. CO_CADENCE_COMBOS="8,4,2,1,host;16,4,2,0,kd_device"
 if os.environ.get("CO_CADENCE_COMBOS"):
-    COMBOS = [tuple(int(v) for v in c.split(","))
-              for c in os.environ["CO_CADENCE_COMBOS"].split(";")]
+    def _parse(c):
+        v = c.split(",")
+        return (int(v[0]), int(v[1]), int(v[2]),
+                int(v[3]) if len(v) > 3 else 1,
+                v[4] if len(v) > 4 else "host")
+    COMBOS = [_parse(c) for c in os.environ["CO_CADENCE_COMBOS"].split(";")]
+COMBOS = [c if len(c) == 5 else (*c, 1, "host") for c in COMBOS]
 
 
 def main():
@@ -75,9 +84,14 @@ def main():
     sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048,
                                                       replace=False))
 
-    for ts, K, Dp in COMBOS:
+    for ts, K, Dp, geo, builder in COMBOS:
+        os.environ["CO_SORT_MODE"] = (
+            "kd_device" if builder == "kd_device" else "auto")
         cfg = cfg0.replace(fmm_order=p, tree_radius=r, tree_steps=ts,
-                           tree_resort_every=K, tree_pipeline=Dp)
+                           tree_resort_every=K, tree_pipeline=Dp,
+                           geom_refresh=bool(geo),
+                           tree_async_build=(
+                               "device" if builder != "host" else "host"))
         sim = Simulator(cfg, n, engine="fmm3_kd")
         st = sim.init_acc(state0)
         st = sim.run(st, 2)
@@ -96,15 +110,20 @@ def main():
                   f"s/step rebuild_wait="
                   f"{getattr(sim, 'last_rebuild_wait', -1):.3f}", flush=True)
         med = statistics.median(times)
-        # window-end stale force error
+        # window-end stale force error — measure the force the production
+        # scan actually computes (geometry refreshed when geo is on)
         cur = sim.current_state()
-        acc = sim._fmm.force(cur.pos, sim._fstate)
+        fs = sim._fstate
+        if geo and hasattr(sim._fmm, "refresh_geometry_device"):
+            fs = sim._fmm.refresh_geometry_device(
+                sim._fmm._pad_jit(cur.pos, fs), fs)
+        acc = sim._fmm.force(cur.pos, fs)
         ref = D.direct_kahan_targets(cur.pos[sub], cur.pos, cfg.eps2,
                                      cfg.kappa(n))
         err = float(mean_rel_err(acc[sub], ref))
         print("@@ " + json.dumps(
-            {"ts": ts, "resort_every": K, "pipeline": Dp,
-             "median_s_per_step": round(med, 4),
+            {"ts": ts, "resort_every": K, "pipeline": Dp, "geom": geo,
+             "builder": builder, "median_s_per_step": round(med, 4),
              "psteps_per_s": round(n / med, 0),
              "stale_err": err, "times": [round(t, 4) for t in times]}),
             flush=True)
