@@ -237,11 +237,11 @@ def probe(p, r, boost, n=N_HEAD):
 
     row["force_s"] = round(test_time_chained(fpad, ppad, min_loop=1.5), 4)
     # steady-state rebuild cost: seeded re-traversal + list prep + upload
-    jax.block_until_ready(fs.m2l_h2)
+    jax.block_until_ready(fs.m2l_tgt)
     t0 = _time.perf_counter()
     m2l2, p2p2 = eng._traverse(c_h, lb_h, rb_h)
     fs2 = eng._lists_to_state(perm, inv, c_h, lam_h, m2l2, p2p2, {})
-    jax.block_until_ready(fs2.m2l_h2)
+    jax.block_until_ready(fs2.m2l_tgt)
     row["rebuild_s"] = round(_time.perf_counter() - t0, 4)
     row["first_traverse_s"] = round(t_trav, 4)
     print("@@ " + json.dumps(row), flush=True)
@@ -331,12 +331,12 @@ def grid_for_p(p, n=N_HEAD, r_skip=0):
                     return x + eng._padded_force_jit(x, fs) * 1e-30
                 t = test_time_chained(fpad, ppad, min_loop=1.5)
                 row["force_s"] = round(t, 4)
-                jax.block_until_ready(fs.m2l_h2)
+                jax.block_until_ready(fs.m2l_tgt)
                 t0 = _time.perf_counter()
                 m2l2, p2p2 = eng._traverse(c_h, lb_h, rb_h)
                 fs2 = eng._lists_to_state(perm, inv, c_h, lam_h,
                                           m2l2, p2p2, {})
-                jax.block_until_ready(fs2.m2l_h2)
+                jax.block_until_ready(fs2.m2l_tgt)
                 row["rebuild_s"] = round(_time.perf_counter() - t0, 4)
                 row["first_traverse_s"] = round(t_trav, 4)
                 del fs2, m2l2, p2p2

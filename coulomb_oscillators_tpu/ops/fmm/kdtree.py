@@ -474,6 +474,17 @@ class KdFmmEngine:
         # scripts/m2l_micro.py: isolated stage 318 ms -> 200 ms).  g=1
         # disables grouping (legacy per-entry scatter).
         self.m2l_group = int(os.environ.get("CO_M2L_GROUP", "8"))
+        # On-the-fly M2L geometry (round 5): compute each entry's harmonics
+        # H2/w/logc INSIDE the scan body from fs.center/fs.lam instead of
+        # streaming a precomputed [Km, S_H] fold.  The stored fold costs a
+        # full-array relayout + per-iter dynamic slices every force eval
+        # (measured 19 ms/eval of 150 at N=1M p=6 — trace ops reshape.600 +
+        # constant_dynamic-slice_fusion.7) plus ~0.8 GB HBM at the N=1M
+        # caps; the in-body recompute is a few hundred VPU ops and 8
+        # gathered words per entry, and makes the M2L geometry follow
+        # geom_refresh'd centers with NO per-step re-fold.  Same numerics
+        # (identical m2l_fold_geo -> m2l_sparse_pre composition).
+        self.m2l_fly = os.environ.get("CO_M2L_FLY", "1") != "0"
         # Near-field default: the K-unrolled VMEM-resident Pallas kernel on
         # TPU; the chunked jnp scan elsewhere.  dim=2 stays on the scan
         # (the FAR sentinel's 1/r^2 weight does not underflow exactly in
@@ -749,11 +760,19 @@ class KdFmmEngine:
         m2l_v_d = jnp.asarray(m2l_v)
         center_d = jnp.asarray(center)
         lam_d = jnp.asarray(lam)
-        # fold the frozen per-entry M2L geometry out of the per-step loop
-        # (harmonics + scale powers are constants between rebuilds; only
-        # the multipole gather stays live) — device compute at adoption
-        h2, w, logc = self._m2l_geo_jit(center_d, lam_d, m2l_t_d, m2l_s_d,
-                                        m2l_v_d)
+        if self.m2l_fly:
+            # geometry recomputed in the scan body (see m2l_fly) — store
+            # placeholders so FmmState keeps its shape contract
+            h2 = jnp.zeros((1, 1), jnp.float32)
+            w = jnp.zeros((1,), jnp.float32)
+            logc = jnp.zeros((1,), jnp.float32)
+        else:
+            # fold the frozen per-entry M2L geometry out of the per-step
+            # loop (harmonics + scale powers are constants between rebuilds;
+            # only the multipole gather stays live) — device compute at
+            # adoption
+            h2, w, logc = self._m2l_geo_jit(center_d, lam_d, m2l_t_d,
+                                            m2l_s_d, m2l_v_d)
         out = FmmState(
             perm=jnp.asarray(perm), inv_perm=jnp.asarray(inv_perm),
             center=center_d, lam=lam_d,
@@ -962,6 +981,10 @@ class KdFmmEngine:
         center = smh / multf[:, None]
         lam = jnp.maximum(
             0.5 * jnp.linalg.norm(mxh - mnh, axis=1), 1e-30)
+        if self.m2l_fly:
+            # the scan body reads geometry straight from center/lam —
+            # nothing else to refresh (the refresh is just this heap sweep)
+            return fs._replace(center=center, lam=lam)
         h2, w, logc = self._m2l_geo_jit(
             center, lam, fs.m2l_tgt, fs.m2l_src, fs.m2l_valid)
         return fs._replace(center=center, lam=lam, m2l_h2=h2,
@@ -997,6 +1020,23 @@ class KdFmmEngine:
         """
         from coulomb_oscillators_tpu import native as conative
         L, S = self.L, self.sub_depth
+        # Temporal MAC slack (round 5): inflate node bounds by the expected
+        # within-reuse-window particle drift before the acceptance test, so
+        # no accepted M2L pair can become inadmissible (divergent expansion)
+        # and no truly-near pair can be missing from the P2P list while the
+        # lists are frozen.  The staleness anatomy (docs/stale_anatomy_r05)
+        # showed the frozen ACCEPTANCE SET dominates the stale-window error
+        # (fresh lists: 2.3e-4, frozen: 1.8e-2 at window end) — a few pairs
+        # drift past their convergence radius and blow up.  Inflation only
+        # affects list construction; expansion geometry stays exact.  Set by
+        # the Simulator from max|v|*dt*max_list_age (auto) or explicitly.
+        # The reference freezes lists with no slack and eats the drift
+        # (fmm_cart3_kdtree.cuh:1619-1642).
+        sm = float(os.environ.get("CO_STALE_MARGIN",
+                                  getattr(self, "stale_margin_abs", 0.0)))
+        if sm > 0.0:
+            lb_h = lb_h - sm
+            rb_h = rb_h + sm
         # seed capacities from the previous traversal so growth never costs
         # a full re-traversal (the native path re-runs on overflow)
         last = getattr(self, "last_raw_counts", None) or {}
@@ -1366,13 +1406,37 @@ class KdFmmEngine:
         chunk = _pick_chunk(K, self.m2l_chunk, g if grouped else 1)
         nch = K // chunk
 
-        # per-step live data is ONLY the multipole gather; everything
-        # geometric streams sequentially from the rebuild-time fold
+        # per-step live data: the multipole gather, plus either the
+        # rebuild-time geometry fold (streamed sequentially) or — fly mode —
+        # 8 gathered words/entry from fs.center/fs.lam with the fold
+        # recomputed in-body (same m2l_fold_geo -> m2l_sparse_pre numerics;
+        # kills the stored fold's per-eval relayout + slicing and keeps the
+        # geometry current with geom_refresh'd centers for free)
         bc = fs.m2l_src.reshape(nch, chunk)
         vc = fs.m2l_valid.reshape(nch, chunk)
-        h2c = fs.m2l_h2.reshape(nch, chunk, -1)
-        wc = fs.m2l_w.reshape(nch, chunk)
-        lgc = fs.m2l_logc.reshape(nch, chunk)
+        fly = self.m2l_fly
+        if fly:
+            center, lam = fs.center, fs.lam
+            dim = self.dim
+
+            def geo(bi, vv, ta):
+                a_cl = jnp.minimum(ta, Mheap - 1)
+                R = tuple(
+                    jnp.where(vv,
+                              jnp.take(center[:, d], a_cl)
+                              - jnp.take(center[:, d], bi),
+                              jnp.float32(1.0))
+                    for d in range(dim))
+                la = jnp.take(lam, a_cl)
+                lb = jnp.take(lam, bi)
+                return mop.m2l_fold_geo(t, R, la, lb)
+        else:
+            h2c = fs.m2l_h2.reshape(nch, chunk, -1)
+            wc = fs.m2l_w.reshape(nch, chunk)
+            lgc = fs.m2l_logc.reshape(nch, chunk)
+        tac = jnp.minimum(
+            fs.m2l_tgt + (~fs.m2l_valid) * Mheap,
+            Mheap).reshape(nch, chunk)
 
         if grouped:
             # dense-reduce each g-run of same-target entries (cheap VPU
@@ -1381,33 +1445,59 @@ class KdFmmEngine:
             # vs 200 ms grouped at N=1M p=6 (scripts/m2l_micro.py)
             gtc = fs.m2l_gtgt.reshape(nch, chunk // g)
 
-            def m2l_body(acc, args):
-                bi, vv, H2, w, logc, gta = args
-                MbX = jnp.take(mpole_heap, bi, axis=0)     # [chunk, S_M]
-                La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
-                La = La * vv[:, None]
-                La = La.reshape(-1, g, t.S_Lt).sum(axis=1)
-                part = jax.ops.segment_sum(La, gta,
-                                           num_segments=Mheap + 1,
-                                           indices_are_sorted=True)
-                return acc + part, None
+            if fly:
+                def m2l_body(acc, args):
+                    bi, vv, ta, gta = args
+                    MbX = jnp.take(mpole_heap, bi, axis=0)  # [chunk, S_M]
+                    H2, w, logc = geo(bi, vv, ta)
+                    La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
+                    La = La * vv[:, None]
+                    La = La.reshape(-1, g, t.S_Lt).sum(axis=1)
+                    part = jax.ops.segment_sum(La, gta,
+                                               num_segments=Mheap + 1,
+                                               indices_are_sorted=True)
+                    return acc + part, None
 
-            xs = (bc, vc, h2c, wc, lgc, gtc)
+                xs = (bc, vc, tac, gtc)
+            else:
+                def m2l_body(acc, args):
+                    bi, vv, H2, w, logc, gta = args
+                    MbX = jnp.take(mpole_heap, bi, axis=0)  # [chunk, S_M]
+                    La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
+                    La = La * vv[:, None]
+                    La = La.reshape(-1, g, t.S_Lt).sum(axis=1)
+                    part = jax.ops.segment_sum(La, gta,
+                                               num_segments=Mheap + 1,
+                                               indices_are_sorted=True)
+                    return acc + part, None
+
+                xs = (bc, vc, h2c, wc, lgc, gtc)
         else:
-            tac = jnp.minimum(
-                fs.m2l_tgt + (~fs.m2l_valid) * Mheap,
-                Mheap).reshape(nch, chunk)
+            if fly:
+                def m2l_body(acc, args):
+                    bi, vv, ta = args
+                    MbX = jnp.take(mpole_heap, bi, axis=0)  # [chunk, S_M]
+                    H2, w, logc = geo(bi, vv, ta)
+                    La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
+                    La = La * vv[:, None]
+                    part = jax.ops.segment_sum(La, ta,
+                                               num_segments=Mheap + 1,
+                                               indices_are_sorted=True)
+                    return acc + part, None
 
-            def m2l_body(acc, args):
-                bi, vv, ta, H2, w, logc = args
-                MbX = jnp.take(mpole_heap, bi, axis=0)     # [chunk, S_M]
-                La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
-                La = La * vv[:, None]
-                part = jax.ops.segment_sum(La, ta, num_segments=Mheap + 1,
-                                           indices_are_sorted=True)
-                return acc + part, None
+                xs = (bc, vc, tac)
+            else:
+                def m2l_body(acc, args):
+                    bi, vv, ta, H2, w, logc = args
+                    MbX = jnp.take(mpole_heap, bi, axis=0)  # [chunk, S_M]
+                    La = mop.m2l_sparse_pre(t, MbX, H2, w, logc)
+                    La = La * vv[:, None]
+                    part = jax.ops.segment_sum(La, ta,
+                                               num_segments=Mheap + 1,
+                                               indices_are_sorted=True)
+                    return acc + part, None
 
-            xs = (bc, vc, tac, h2c, wc, lgc)
+                xs = (bc, vc, tac, h2c, wc, lgc)
 
         local_init = jnp.zeros((Mheap + 1, t.S_Lt), dtype)
         local_heap, _ = jax.lax.scan(m2l_body, local_init, xs)

@@ -125,14 +125,20 @@ def shard_pair_lists(eng: KdFmmEngine, fs: FmmState, ndev: int,
     assert Km % ndev == 0, f"m2l cap {Km} not divisible by mesh {ndev}"
     Kml = Km // ndev
 
+    # fly-mode M2L (eng.m2l_fly) stores geometry placeholders — replicate
+    # tiny zeros per device; the scan body recomputes from center/lam
+    folded = fs.m2l_h2.shape[0] == Km
     lists = PShardLists(
         p2p_tgt=tuple(tgt_h), p2p_src=tuple(src_h), p2p_val=tuple(val_h),
         m2l_tgt=fs.m2l_tgt.reshape(ndev, Kml),
         m2l_src=fs.m2l_src.reshape(ndev, Kml),
         m2l_val=fs.m2l_valid.reshape(ndev, Kml),
-        m2l_h2=fs.m2l_h2.reshape(ndev, Kml, -1),
-        m2l_w=fs.m2l_w.reshape(ndev, Kml),
-        m2l_logc=fs.m2l_logc.reshape(ndev, Kml),
+        m2l_h2=(fs.m2l_h2.reshape(ndev, Kml, -1) if folded
+                else jnp.zeros((ndev, 1, 1), jnp.float32)),
+        m2l_w=(fs.m2l_w.reshape(ndev, Kml) if folded
+               else jnp.zeros((ndev, 1), jnp.float32)),
+        m2l_logc=(fs.m2l_logc.reshape(ndev, Kml) if folded
+                  else jnp.zeros((ndev, 1), jnp.float32)),
         m2l_gtgt=fs.m2l_gtgt.reshape(ndev, -1)
         if fs.m2l_gtgt.shape[0] % ndev == 0 and fs.m2l_gtgt.shape[0] > 1
         else jnp.zeros((ndev, 1), jnp.int32))

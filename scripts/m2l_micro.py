@@ -18,6 +18,9 @@ import functools
 import sys
 
 sys.path.insert(0, ".")
+import os
+os.environ.setdefault("CO_M2L_FLY", "0")  # probes the stored-fold path
+
 
 from coulomb_oscillators_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
