@@ -225,6 +225,25 @@ def probe(p, r, boost, n=N_HEAD):
     err = float(mean_rel_err(eng.force(pos_d, fs)[jnp.asarray(sub)],
                              acc_ref))
     row = {"p": p, "r": r, "boost": boost, "err": err}
+    # interaction counts per force eval (BASELINE.md Ginteractions/s
+    # metric): physical P2P particle pairs (sum mult_t*mult_s over the
+    # directed near list, sub-leaf masks unpacked), padded lane pairs the
+    # device actually runs, and directed M2L translations
+    from coulomb_oscillators_tpu.ops.fmm.kdtree import _heap_off
+    Ls, S = eng.L, eng.sub_depth
+    mult_leaf = eng.st.mult[_heap_off(Ls):].astype(np.int64)
+    # near rows: [tgt sub-leaf id, src block | sub-leaf mask << shift]
+    tb = p2p[:, 0].astype(np.int64)
+    pk = p2p[:, 1].astype(np.int64) & 0xFFFFFFFF   # unsigned view
+    sb = pk & ((1 << eng.mask_shift) - 1)
+    mask = pk >> eng.mask_shift
+    src_m = np.zeros(p2p.shape[0], dtype=np.int64)
+    for k in range(1 << S):
+        src_m += ((mask >> k) & 1) * mult_leaf[(sb << S) + k]
+    row["p2p_phys_int"] = int(np.sum(mult_leaf[tb] * src_m))
+    row["p2p_lane_int"] = int(np.sum(np.asarray(fs.p2p_valid))
+                              * eng.st.C * eng.C_blk)
+    row["m2l_entries"] = int(m2l.shape[0])
     if err >= ERR_BOUND:
         print("@@ " + json.dumps(row), flush=True)
         sys.exit(3)
@@ -507,6 +526,11 @@ def _cadence_env(tuned) -> None:
     os.environ["CO_BENCH_TS"] = str(tuned.get("tree_steps", 8))
     os.environ["CO_BENCH_RESORT"] = str(tuned.get("resort_every", 1))
     os.environ["CO_BENCH_PIPE"] = str(tuned.get("pipeline", 2))
+    # traversal-time stale margin (docs/stale_margin_r05.json winner):
+    # bounds the within-window staleness error of the frozen pair lists
+    sm = _tuned_raw().get("stale_margin")
+    if sm:
+        os.environ["CO_STALE_MARGIN"] = str(sm)
 
 
 def _score(row, tree_steps):
@@ -516,6 +540,22 @@ def _score(row, tree_steps):
 
 def _emit(best, cfg, probes, finals, note=""):
     med = best["median"]
+    # interaction rates (BASELINE.md:22): counts from the winning config's
+    # probe row, rate over the production median s/step (1 force eval/step)
+    prow = next((q for q in probes
+                 if q.get("p") == best["p"] and q.get("r") == best["r"]
+                 and q.get("boost") == best.get("boost")
+                 and "p2p_phys_int" in q), None)
+    rates = {}
+    if prow:
+        rates = {
+            "p2p_phys_Gint_per_s": round(prow["p2p_phys_int"] / med / 1e9, 2),
+            "p2p_lane_Gint_per_s": round(prow["p2p_lane_int"] / med / 1e9, 2),
+            "m2l_Mtrans_per_s": round(prow["m2l_entries"] / med / 1e6, 2),
+            "p2p_phys_int_per_eval": prow["p2p_phys_int"],
+            "p2p_lane_int_per_eval": prow["p2p_lane_int"],
+            "m2l_entries_per_eval": prow["m2l_entries"],
+        }
     out = {
         "metric": "particle_steps_per_s",
         "value": round(N_HEAD / med, 0),
@@ -540,6 +580,13 @@ def _emit(best, cfg, probes, finals, note=""):
             # documented temporal-amortization trade
             # (scripts/cadence_probe.py, README drift/staleness section)
             "stale_window_err": _tuned_raw().get("stale_window_err"),
+            # window-MEAN stale force error at the shipped cadence + the
+            # traversal-time stale margin that bounds it
+            # (scripts/stale_margin_probe.py -> docs/stale_margin_r05.json)
+            "stale_window_mean_err":
+                _tuned_raw().get("stale_window_mean_err"),
+            "stale_margin": _tuned_raw().get("stale_margin"),
+            "interaction_rates": rates,
             "vs_baseline_meaning": "ratio to round-2 headline 2.83M "
                                    "psteps/s (reference publishes none)",
             "probes": probes,
