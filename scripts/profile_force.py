@@ -10,7 +10,7 @@ upload).  Drives the round-2 optimization order.
 Run from /root/repo (no PYTHONPATH — it breaks the axon plugin):
     python scripts/profile_force.py [N] [p] [r]
     python scripts/profile_force.py artifact [N] [p] [r]   # also write
-        docs/breakdown_r04.json (driver-checkable per-stage record)
+        docs/breakdown_r05.json (driver-checkable per-stage record)
     python scripts/profile_force.py trace [N] [p] [r]      # XLA trace of
         the padded force program + per-op histogram (the isolated-stage
         wall timings above carry per-call dispatch overhead; the trace is
@@ -205,9 +205,9 @@ def main():
                     "sums can exceed force_padded_ms because XLA fuses "
                     "stages in the production program",
         }
-        with open("docs/breakdown_r04.json", "w") as f:
+        with open("docs/breakdown_r05.json", "w") as f:
             json.dump(out, f, indent=1)
-        print("wrote docs/breakdown_r04.json")
+        print("wrote docs/breakdown_r05.json")
 
 
 if __name__ == "__main__":
