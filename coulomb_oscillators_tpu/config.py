@@ -109,6 +109,18 @@ class SimConfig:
                                   # reduce + heap sweep + M2L geometry
                                   # re-fold per step, a few ms at N=1M.
 
+    stale_margin: float = -1.0    # TPU extension: temporal MAC slack —
+                                  # inflate node bounds by this absolute
+                                  # distance at traversal time so pairs
+                                  # accepted into the frozen M2L/P2P lists
+                                  # stay admissible for the whole reuse
+                                  # window (the frozen ACCEPTANCE SET is
+                                  # the dominant stale-error term,
+                                  # docs/stale_anatomy_r05.json).  <0 =
+                                  # auto: max|v|*dt*max_list_age*1.25,
+                                  # set by the Simulator at init; 0 = off
+                                  # (reference behavior: freeze and eat
+                                  # the drift); >0 = explicit distance.
     # --- integration -------------------------------------------------------
     dt: float = 5e-4              # main3.cu:231
     integrator: str = "leapfrog"  # {euler, leapfrog, forestruth, pefrl} (main3.cu:238,389-401)

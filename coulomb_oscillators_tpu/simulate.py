@@ -167,6 +167,7 @@ class Simulator:
     def init_acc(self, state: ParticleState) -> ParticleState:
         """Precompute a0 (main3.cu:835-839)."""
         if self._fmm is not None:
+            self._set_stale_margin(state)
             self._fstate = self._fmm.build(state.pos)
             self._steps_since_build = 0
             acc = self._fmm.force(state.pos, self._fstate)
@@ -183,6 +184,35 @@ class Simulator:
             self._padded = self._pad_state(out)
             self._last_out = out
         return out
+
+    def _set_stale_margin(self, state: ParticleState) -> None:
+        """Temporal MAC slack (config.stale_margin, auto when < 0).
+
+        Pair lists are frozen for up to `max_list_age` steps (snapshot ->
+        adoption `tree_pipeline` windows later -> one window of use), so a
+        node's content can drift ~max|v|*dt*age before the next traversal
+        sees it.  Inflating bounds by that drift at traversal time keeps
+        every accepted M2L pair admissible (convergent) and every truly
+        near pair inside the P2P list for the whole window — the frozen
+        acceptance set is the dominant staleness error
+        (docs/stale_anatomy_r05.json: window-end 1.8e-2 frozen vs 2.3e-4
+        fresh lists).  In the harmonic trap max|v| is bounded (energy
+        conservation), so the init-time value with a 1.25 safety factor
+        holds for the run.  The reference freezes lists with no slack
+        (fmm_cart3_kdtree.cuh:1619-1642).
+        """
+        sm = float(getattr(self.config, "stale_margin", 0.0))
+        if sm >= 0.0:
+            self._fmm.stale_margin_abs = sm
+            return
+        ts = max(self.config.tree_steps, 1)
+        if ts <= 1:
+            self._fmm.stale_margin_abs = 0.0
+            return
+        D = max(1, int(getattr(self.config, "tree_pipeline", 1)))
+        age = ts * ((D + 1) if self.config.tree_async else 1)
+        vmax = float(jnp.max(jnp.linalg.norm(state.vel, axis=-1)))
+        self._fmm.stale_margin_abs = 1.25 * vmax * self.config.dt * age
 
     def run(self, state: ParticleState, steps: int) -> ParticleState:
         """Advance `steps` iterations, rebuilding the tree as configured."""

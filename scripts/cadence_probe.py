@@ -84,6 +84,7 @@ def main():
     sub = jnp.asarray(np.random.default_rng(0).choice(n, 2048,
                                                       replace=False))
 
+    rows = []
     for ts, K, Dp, geo, builder in COMBOS:
         os.environ["CO_SORT_MODE"] = (
             "kd_device" if builder == "kd_device" else "auto")
@@ -121,12 +122,18 @@ def main():
         ref = D.direct_kahan_targets(cur.pos[sub], cur.pos, cfg.eps2,
                                      cfg.kappa(n))
         err = float(mean_rel_err(acc[sub], ref))
-        print("@@ " + json.dumps(
-            {"ts": ts, "resort_every": K, "pipeline": Dp, "geom": geo,
-             "builder": builder, "median_s_per_step": round(med, 4),
-             "psteps_per_s": round(n / med, 0),
-             "stale_err": err, "times": [round(t, 4) for t in times]}),
-            flush=True)
+        row = {"ts": ts, "resort_every": K, "pipeline": Dp, "geom": geo,
+               "builder": builder, "median_s_per_step": round(med, 4),
+               "psteps_per_s": round(n / med, 0),
+               "stale_err": err, "times": [round(t, 4) for t in times]}
+        rows.append(row)
+        print("@@ " + json.dumps(row), flush=True)
+        with open("docs/cadence_r05.json", "w") as f:
+            json.dump({"config": {"n": n, "p": p, "r": r, "boost": boost,
+                                  "stale_margin":
+                                      os.environ.get("CO_STALE_MARGIN")},
+                       "rows": rows}, f, indent=1)
+    print("wrote docs/cadence_r05.json", flush=True)
 
 
 if __name__ == "__main__":

@@ -35,12 +35,76 @@ from coulomb_oscillators_tpu.ops.fmm import KdFmmEngine
 from coulomb_oscillators_tpu.utils.timing import test_time_chained
 
 
+def prod_trace(argv):
+    """XLA-trace one full production reuse window (the VERDICT r4 weak-#5
+    ask: device ms/step measured INSIDE a timed production window, not in
+    isolated per-call rows that carry tunnel dispatch overhead).  Runs the
+    Simulator at the tuned cadence, primes the pipeline, traces one
+    tree_steps-long advance_padded, and writes the per-step device op
+    histogram to docs/prodtrace_r05.json."""
+    import json
+    import os
+
+    from coulomb_oscillators_tpu import ParticleState
+    from coulomb_oscillators_tpu.simulate import Simulator
+    from coulomb_oscillators_tpu.utils import profiling as prof
+
+    n = int(argv[0]) if len(argv) > 0 else 1_000_000
+    p = int(argv[1]) if len(argv) > 1 else 6
+    r = float(argv[2]) if len(argv) > 2 else 1.43
+    ts = int(os.environ.get("CO_TS", "16"))
+    K = int(os.environ.get("CO_RESORT", "2"))
+    Dp = int(os.environ.get("CO_PIPE", "2"))
+    cfg = SimConfig(fmm_order=p, tree_radius=r, tree_steps=ts,
+                    tree_resort_every=K, tree_pipeline=Dp)
+    x0 = (0.003, 0.001, 0.01)
+    u0 = tuple(w * xs for w, xs in zip(cfg.omega0, x0))
+    pos_h, vel_h = ID.init_gaussian(n, x0, u0)
+    sim = Simulator(cfg, n, engine="fmm3_kd")
+    st = sim.init_acc(ParticleState(jnp.asarray(pos_h), jnp.asarray(vel_h),
+                                    jnp.zeros((n, 3), jnp.float32)))
+    st = sim.run(st, 2)
+    st = sim.run(st, 2)
+    for _ in range(3):
+        sim.advance_padded(2 * ts)
+        jax.block_until_ready(sim._padded.pos)
+    logdir = f"/tmp/xtrace_prod_n{n}_p{p}"
+    t0 = time.perf_counter()
+    with prof.trace(logdir):
+        h = sim.advance_padded(ts)
+        np.asarray(h[0, 0])
+    wall = time.perf_counter() - t0
+    hist = prof.op_histogram(logdir, top=40)
+    tot = sum(hist.values())
+    print(f"\n--- production window trace: {ts} steps, wall "
+          f"{wall:.3f}s ({wall / ts:.4f} s/step), device "
+          f"{tot / 1e3:.3f}s ({tot / ts:.1f} ms/step) ---")
+    for name, ms in hist.items():
+        print(f"{ms / ts:9.2f}  {100 * ms / max(tot, 1e-9):5.1f}%  "
+              f"{name[:100]}")
+    out = {"config": {"n": n, "p": p, "r": r, "ts": ts, "resort_every": K,
+                      "pipeline": Dp,
+                      "stale_margin": getattr(sim._fmm, "stale_margin_abs",
+                                              None)},
+           "window_wall_s": round(wall, 3),
+           "wall_ms_per_step": round(wall / ts * 1e3, 1),
+           "device_ms_per_step": round(tot / ts, 1),
+           "top_ops_ms_per_step": {k: round(v / ts, 2)
+                                   for k, v in hist.items()}}
+    with open("docs/prodtrace_r05.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote docs/prodtrace_r05.json")
+
+
 def main():
     argv = sys.argv[1:]
     artifact = bool(argv) and argv[0] == "artifact"
     tracemode = bool(argv) and argv[0] == "trace"
-    if artifact or tracemode:
+    prodtrace = bool(argv) and argv[0] == "prodtrace"
+    if artifact or tracemode or prodtrace:
         argv = argv[1:]
+    if prodtrace:
+        return prod_trace(argv)
     n = int(argv[0]) if len(argv) > 0 else 1_000_000
     p = int(argv[1]) if len(argv) > 1 else 3
     r = float(argv[2]) if len(argv) > 2 else 1.7

@@ -64,13 +64,12 @@ def main():
         eng = sim._fmm
         st = sim.init_acc(st0)
         st = sim.run(st, 2)                      # prime/compile
-        sim.advance_padded(ts)
-        jax.block_until_ready(sim._padded.pos)
+        st = sim.run(st, ts)
+        jax.block_until_ready(st.pos)
         t0 = time.perf_counter()
         wins = 3
-        for _ in range(wins):
-            sim.advance_padded(ts)
-        jax.block_until_ready(sim._padded.pos)
+        st = sim.run(st, wins * ts)
+        jax.block_until_ready(st.pos)
         sps = (time.perf_counter() - t0) / (wins * ts)
 
         t = eng.tables

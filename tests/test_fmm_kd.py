@@ -235,3 +235,32 @@ def test_production_cadence_window_error(beam):
 
     errs_geo, fresh = window_errs(True)
     assert errs_geo.mean() < 2.0 * fresh + 5e-5, (errs_geo, fresh)
+
+
+def test_stale_margin_auto_and_accuracy(beam, config):
+    """Temporal MAC slack (config.stale_margin): the Simulator auto-derives
+    a positive margin from max|v|*dt*max_list_age; margin-inflated bounds
+    only make the MAC stricter, so the fresh-tree force error must not
+    degrade.  (The staleness-reduction physics is certified on hardware:
+    docs/stale_margin_r05.json.)"""
+    from coulomb_oscillators_tpu.simulate import Simulator
+
+    pos, vel = beam
+    ref = D.direct_kahan(pos, config.eps2, config.kappa(N))
+    cfg = config.replace(tree_steps=8, tree_pipeline=2)
+
+    sim = Simulator(cfg, N, engine="fmm3_kd")
+    sim._set_stale_margin(ParticleState(pos, vel, jnp.zeros_like(pos)))
+    m_auto = sim._fmm.stale_margin_abs
+    vmax = float(jnp.max(jnp.linalg.norm(vel, axis=-1)))
+    assert m_auto == pytest.approx(1.25 * vmax * cfg.dt * 8 * 3)
+
+    sim0 = Simulator(cfg.replace(stale_margin=0.0), N, engine="fmm3_kd")
+    sim0._set_stale_margin(ParticleState(pos, vel, jnp.zeros_like(pos)))
+    assert sim0._fmm.stale_margin_abs == 0.0
+
+    eng0, engm = sim0._fmm, sim._fmm
+    err0 = float(mean_rel_err(eng0.force(pos, eng0.build(pos)), ref))
+    errm = float(mean_rel_err(engm.force(pos, engm.build(pos)), ref))
+    # stricter acceptance => error at worst unchanged (f32 noise allowance)
+    assert errm <= err0 * 1.25 + 1e-5, (errm, err0)
