@@ -38,6 +38,9 @@ def main():
     ts = int(os.environ.get("CO_TS", "16"))
     K = int(os.environ.get("CO_RESORT", "2"))
     Dp = int(os.environ.get("CO_PIPE", "2"))
+    builder = os.environ.get("CO_BUILDER", "host")   # host | kd_device
+    if builder == "kd_device":
+        os.environ["CO_SORT_MODE"] = "kd_device"
 
     import numpy as np
     import jax
@@ -50,7 +53,9 @@ def main():
     from coulomb_oscillators_tpu.simulate import Simulator
 
     cfg = SimConfig(fmm_order=p, tree_radius=r, tree_steps=ts,
-                    tree_resort_every=K, tree_pipeline=Dp)
+                    tree_resort_every=K, tree_pipeline=Dp,
+                    tree_async_build=("device" if builder != "host"
+                                      else "host"))
     x = (0.003, 0.001, 0.01)
     u = tuple(w * xs for w, xs in zip(cfg.omega0, x))
     pos, vel = ID.init_gaussian(n, x, u, dtype=np.float32)
@@ -107,11 +112,15 @@ def main():
         rows.append(row)
         print("@@ " + json.dumps(row), flush=True)
 
-    with open("docs/stale_margin_r05.json", "w") as f:
+    path = (f"docs/stale_margin_r05_ts{ts}K{K}D{Dp}_{builder}.json"
+            if os.environ.get("CO_TS") or builder != "host"
+            else "docs/stale_margin_r05.json")
+    with open(path, "w") as f:
         json.dump({"config": {"n": n, "p": p, "r": r, "ts": ts,
-                              "resort_every": K, "pipeline": Dp},
+                              "resort_every": K, "pipeline": Dp,
+                              "builder": builder},
                    "rows": rows}, f, indent=1)
-    print("wrote docs/stale_margin_r05.json", flush=True)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
