@@ -252,8 +252,9 @@ def test_stale_margin_auto_and_accuracy(beam, config):
     sim = Simulator(cfg, N, engine="fmm3_kd")
     sim._set_stale_margin(ParticleState(pos, vel, jnp.zeros_like(pos)))
     m_auto = sim._fmm.stale_margin_abs
-    vmax = float(jnp.max(jnp.linalg.norm(vel, axis=-1)))
-    assert m_auto == pytest.approx(1.25 * vmax * cfg.dt * 8 * 3)
+    vrms = float(jnp.sqrt(jnp.mean(jnp.sum(vel * vel, axis=-1))))
+    # K=1 (no refreshes): age = (pipeline+1) windows
+    assert m_auto == pytest.approx(vrms * cfg.dt * 8 * 3)
 
     sim0 = Simulator(cfg.replace(stale_margin=0.0), N, engine="fmm3_kd")
     sim0._set_stale_margin(ParticleState(pos, vel, jnp.zeros_like(pos)))
