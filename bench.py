@@ -585,7 +585,14 @@ def _emit(best, cfg, probes, finals, note=""):
             # (scripts/stale_margin_probe.py -> docs/stale_margin_r05.json)
             "stale_window_mean_err":
                 _tuned_raw().get("stale_window_mean_err"),
+            # per-step error ladder across one full reuse window at the
+            # shipped cadence (the -test2-style certification,
+            # main3.cu:812-831 analogue; scripts/stale_margin_probe.py)
+            "stale_window_errs": _tuned_raw().get("stale_window_errs"),
             "stale_margin": _tuned_raw().get("stale_margin"),
+            # auto-derived per-axis traversal-time MAC slack in effect
+            # (rms|v_axis|*dt*max_list_age; config.stale_margin auto)
+            "stale_margin_auto": _tuned_raw().get("stale_margin_auto"),
             "interaction_rates": rates,
             "vs_baseline_meaning": "ratio to round-2 headline 2.83M "
                                    "psteps/s (reference publishes none)",

@@ -1032,11 +1032,14 @@ class KdFmmEngine:
         # the Simulator from max|v|*dt*max_list_age (auto) or explicitly.
         # The reference freezes lists with no slack and eats the drift
         # (fmm_cart3_kdtree.cuh:1619-1642).
-        sm = float(os.environ.get("CO_STALE_MARGIN",
-                                  getattr(self, "stale_margin_abs", 0.0)))
-        if sm > 0.0:
-            lb_h = lb_h - sm
-            rb_h = rb_h + sm
+        sm_env = os.environ.get("CO_STALE_MARGIN")
+        sm = (float(sm_env) if sm_env is not None
+              else getattr(self, "stale_margin_abs", 0.0))
+        # scalar (env/explicit) or per-axis [dim] vector (auto: per-axis
+        # rms drift — bounds inflate per axis, broadcast handles both)
+        if np.any(np.asarray(sm) > 0.0):
+            lb_h = (lb_h - sm).astype(lb_h.dtype)
+            rb_h = (rb_h + sm).astype(rb_h.dtype)
         # seed capacities from the previous traversal so growth never costs
         # a full re-traversal (the native path re-runs on overflow)
         last = getattr(self, "last_raw_counts", None) or {}

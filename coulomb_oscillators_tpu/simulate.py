@@ -14,6 +14,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from coulomb_oscillators_tpu.config import SimConfig
 from coulomb_oscillators_tpu.models import integrators as I
@@ -224,10 +225,13 @@ class Simulator:
         # reference -accuracy metric); covering the few fastest tail
         # particles costs pairs without moving the mean.  Measured sweet
         # spot at N=1M/ts=16: margin ~1-3e-4 = rms|v|*dt*age territory
-        # (docs/stale_margin_r05.json).
-        vrms = float(jnp.sqrt(jnp.mean(jnp.sum(state.vel * state.vel,
-                                               axis=-1))))
-        self._fmm.stale_margin_abs = vrms * self.config.dt * age
+        # (docs/stale_margin_r05.json).  Per-AXIS rms: drift is anisotropic
+        # (the default beam's v_z rms is ~10x v_y), and bounds inflate
+        # per axis, so a flat scalar would buy x/y slack the physics never
+        # uses while paying its near-field pair cost.
+        vrms_ax = np.sqrt(np.asarray(
+            jnp.mean(state.vel * state.vel, axis=0), np.float64))
+        self._fmm.stale_margin_abs = vrms_ax * self.config.dt * age
 
     def run(self, state: ParticleState, steps: int) -> ParticleState:
         """Advance `steps` iterations, rebuilding the tree as configured."""

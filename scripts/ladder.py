@@ -60,14 +60,42 @@ def _run(tag, config, n, engine, steps=12, uniform=False, integ=None):
         state = sim.run(state, steps)
         np.asarray(state.pos[0])
         dt = min(dt, (time.time() - t0) / steps)
-    print(json.dumps({
+    row = {
         "config": tag, "engine": engine, "n": n,
         "sec_per_step": round(dt, 5),
         "particle_steps_per_s": round(n / dt, 1),
         "integrator": config.integrator,
         "p": config.fmm_order, "r": config.tree_radius,
         "setup_s": round(time.time() - t_setup, 1),
-    }), flush=True)
+    }
+    print(json.dumps(row), flush=True)
+    ROWS.append(row)
+    _write_artifact()
+
+
+ROWS = []
+ARTIFACT = "LADDER_r05.json"
+
+
+def _write_artifact():
+    """Rewrite the ladder artifact after every config so a crashed or
+    timed-out run still leaves the completed rows on disk."""
+    with open(ARTIFACT, "w") as f:
+        json.dump({
+            "note": "BASELINE.json config ladder measured by the round-5 "
+                    "engine (scripts/ladder.py); sec_per_step is min over "
+                    "2 timed repeats after warm-up, transport stalls "
+                    "excluded by chained sync",
+            "device": _device_kind(),
+            "rows": ROWS,
+        }, f, indent=1)
+
+
+def _device_kind():
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
 
 
 def main():
@@ -90,8 +118,11 @@ def main():
             _run("3b_octree_traceless_N1M_uniform", cfg, 1_000_000,
                  "fmm3_traceless", steps=6, uniform=True)
         except Exception as ex:  # octree needs quasi-uniform occupancy
-            print(json.dumps({"config": "3b_octree_traceless_N1M_uniform",
-                              "error": repr(ex)[:200]}), flush=True)
+            row = {"config": "3b_octree_traceless_N1M_uniform",
+                   "error": repr(ex)[:200]}
+            print(json.dumps(row), flush=True)
+            ROWS.append(row)
+            _write_artifact()
     if 4 in which:
         cfg = SimConfig(fmm_order=8, tree_radius=2.0, integrator="forestruth")
         _run("4_p8_forestruth_N100k", cfg, 100_000, "fmm3_kd")

@@ -84,8 +84,9 @@ def prod_trace(argv):
               f"{name[:100]}")
     out = {"config": {"n": n, "p": p, "r": r, "ts": ts, "resort_every": K,
                       "pipeline": Dp,
-                      "stale_margin": getattr(sim._fmm, "stale_margin_abs",
-                                              None)},
+                      "stale_margin": np.asarray(
+                          getattr(sim._fmm, "stale_margin_abs", 0.0)
+                      ).tolist()},
            "window_wall_s": round(wall, 3),
            "wall_ms_per_step": round(wall / ts * 1e3, 1),
            "device_ms_per_step": round(tot / ts, 1),

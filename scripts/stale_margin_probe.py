@@ -33,7 +33,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     r = float(sys.argv[3]) if len(sys.argv) > 3 else 1.43
-    margins = ([float(v) for v in sys.argv[4].split(",")]
+    margins = ([v if v == "auto" else float(v)
+                for v in sys.argv[4].split(",")]
                if len(sys.argv) > 4 else [0.0, 1e-4, 3e-4, 1e-3])
     ts = int(os.environ.get("CO_TS", "16"))
     K = int(os.environ.get("CO_RESORT", "2"))
@@ -65,7 +66,12 @@ def main():
                                                       replace=False))
     rows = []
     for m in margins:
-        os.environ["CO_STALE_MARGIN"] = str(m)
+        if m == "auto":
+            # shipped default: Simulator derives the margin from
+            # rms|v|*dt*max_list_age (config.stale_margin < 0)
+            os.environ.pop("CO_STALE_MARGIN", None)
+        else:
+            os.environ["CO_STALE_MARGIN"] = str(m)
         sim = Simulator(cfg, n, engine="fmm3_kd")
         eng = sim._fmm
         st = sim.init_acc(state0)
@@ -104,6 +110,8 @@ def main():
         np.asarray(h[0, 0])
         sps = (time.perf_counter() - t0) / ts
         row = {"margin": m, "errs": errs,
+               "resolved_margin": np.asarray(
+                   getattr(eng, "stale_margin_abs", 0.0)).tolist(),
                "window_mean": float(np.mean(list(errs.values()))),
                "counts": counts, "caps": {k: int(v) if not isinstance(v, dict)
                                           else v for k, v in caps.items()},
@@ -115,6 +123,8 @@ def main():
     path = (f"docs/stale_margin_r05_ts{ts}K{K}D{Dp}_{builder}.json"
             if os.environ.get("CO_TS") or builder != "host"
             else "docs/stale_margin_r05.json")
+    if "auto" in margins:
+        path = path.replace(".json", "_auto.json")
     with open(path, "w") as f:
         json.dump({"config": {"n": n, "p": p, "r": r, "ts": ts,
                               "resort_every": K, "pipeline": Dp,

@@ -251,10 +251,12 @@ def test_stale_margin_auto_and_accuracy(beam, config):
 
     sim = Simulator(cfg, N, engine="fmm3_kd")
     sim._set_stale_margin(ParticleState(pos, vel, jnp.zeros_like(pos)))
-    m_auto = sim._fmm.stale_margin_abs
-    vrms = float(jnp.sqrt(jnp.mean(jnp.sum(vel * vel, axis=-1))))
+    m_auto = np.asarray(sim._fmm.stale_margin_abs)
+    # per-axis rms drift (anisotropic: bounds inflate per axis)
+    vrms_ax = np.sqrt(np.asarray(jnp.mean(vel * vel, axis=0)))
     # K=1 (no refreshes): age = (pipeline+1) windows
-    assert m_auto == pytest.approx(vrms * cfg.dt * 8 * 3)
+    assert m_auto == pytest.approx(vrms_ax * cfg.dt * 8 * 3)
+    assert np.all(m_auto > 0.0)
 
     sim0 = Simulator(cfg.replace(stale_margin=0.0), N, engine="fmm3_kd")
     sim0._set_stale_margin(ParticleState(pos, vel, jnp.zeros_like(pos)))
