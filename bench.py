@@ -175,6 +175,19 @@ def oracle(n=N_HEAD):
     print("@@ " + json.dumps({"oracle": "computed"}), flush=True)
 
 
+def _bench_margin(vel_h, base):
+    """Auto per-axis stale margin at the shipped production cadence (the
+    cadence is env-published by _cadence_env; an explicit CO_STALE_MARGIN
+    env still overrides at traversal time)."""
+    from coulomb_oscillators_tpu.simulate import auto_stale_margin
+
+    cfg = base.replace(
+        tree_steps=int(os.environ.get("CO_BENCH_TS", "8")),
+        tree_resort_every=int(os.environ.get("CO_BENCH_RESORT", "1")),
+        tree_pipeline=int(os.environ.get("CO_BENCH_PIPE", "2")))
+    return auto_stale_margin(vel_h, cfg)
+
+
 # --------------------------------------------------------------------------
 # child: error + cost probe of ONE config (cheap; no production scan)
 # --------------------------------------------------------------------------
@@ -203,13 +216,18 @@ def probe(p, r, boost, n=N_HEAD):
     acc_ref = jnp.asarray(acc_ref_h)
 
     base = SimConfig()
-    pos_h, _ = _init_host(n)
+    pos_h, vel_h = _init_host(n)
     pos_d = jnp.asarray(pos_h)
     _warm_fetch(pos_d)
 
     os.environ["CO_SUB_BOOST"] = str(boost)
     eng = KdFmmEngine(base.replace(fmm_order=p, tree_radius=r), n)
     eng.mac_sub_boost = boost if eng.sub_depth else 1.0
+    # same traversal-time stale margin the production Simulator applies
+    # (auto per-axis slack at the shipped cadence): the probe's pair
+    # lists, error, and force cost then match what final_timing runs, so
+    # scores and the published interaction counts are consistent
+    eng.stale_margin_abs = _bench_margin(vel_h, base)
     # host-side build ingredients (native kd + geometry), reused for the
     # rebuild timing below
     perm = conative.kdtree_build(pos_h, eng.L)
@@ -303,13 +321,16 @@ def grid_for_p(p, n=N_HEAD, r_skip=0):
     sub_d = jnp.asarray(sub)
 
     base = SimConfig()
-    pos_h, _ = _init_host(n)          # host copy: no device fetch needed
+    pos_h, vel_h = _init_host(n)      # host copy: no device fetch needed
     pos_d = jnp.asarray(pos_h)
     _warm_fetch(pos_d)
 
     def fresh_engine():
-        return KdFmmEngine(base.replace(fmm_order=p, tree_radius=SEARCH_R[-1]),
-                           n)
+        e = KdFmmEngine(base.replace(fmm_order=p, tree_radius=SEARCH_R[-1]),
+                        n)
+        # production-matching traversal-time stale margin (see probe())
+        e.stale_margin_abs = _bench_margin(vel_h, base)
+        return e
 
     eng = fresh_engine()
     perm = conative.kdtree_build(pos_h, eng.L)

@@ -117,7 +117,9 @@ class SimConfig:
                                   # window (the frozen ACCEPTANCE SET is
                                   # the dominant stale-error term,
                                   # docs/stale_anatomy_r05.json).  <0 =
-                                  # auto: max|v|*dt*max_list_age*1.25,
+                                  # auto: per-axis rms|v_ax|*dt*
+                                  # max_list_age*2.0 (factor via env
+                                  # CO_STALE_MARGIN_FACTOR),
                                   # set by the Simulator at init; 0 = off
                                   # (reference behavior: freeze and eat
                                   # the drift); >0 = explicit distance.

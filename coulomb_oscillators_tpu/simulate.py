@@ -10,6 +10,7 @@ jitted lax.scan with the frozen FmmState as a captured input; the rebuild
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional
 
 import jax
@@ -20,6 +21,50 @@ from coulomb_oscillators_tpu.config import SimConfig
 from coulomb_oscillators_tpu.models import integrators as I
 from coulomb_oscillators_tpu.ops.elastic import add_elastic
 from coulomb_oscillators_tpu.state import ParticleState
+
+
+def auto_stale_margin(vel, config: SimConfig):
+    """Per-axis traversal-time MAC slack for frozen pair lists.
+
+    Pair lists are frozen for up to `max_list_age` steps, so a node's
+    content can drift ~|v|*dt*age before the next traversal sees it;
+    inflating bounds by that drift keeps every accepted M2L pair
+    admissible and every truly near pair inside the P2P list for the
+    whole window (the frozen acceptance set dominates the stale-window
+    error, docs/stale_anatomy_r05.json).  Per-AXIS rms speed: drift is
+    anisotropic (the default beam's v_z rms is ~10x v_y) and bounds
+    inflate per axis, so a flat scalar would buy x/y slack the physics
+    never uses while paying its near-field pair cost.  The 2x safety
+    factor covers the gaussian drift tail (measured: the window-error
+    ladder flattens to fresh-grade once the dominant-axis margin reaches
+    ~2x rms*dt*age, docs/stale_margin_r05*.json).  In the harmonic trap
+    rms|v| is bounded (energy conservation), so the init-time value holds
+    for the run.  The reference freezes lists with no slack and eats the
+    drift (fmm_cart3_kdtree.cuh:1619-1642).
+
+    Returns a [dim] float64 vector (zeros when lists never go stale).
+    """
+    ts = max(config.tree_steps, 1)
+    if ts <= 1:
+        return np.zeros(config.dim)
+    # list age: refreshes re-traverse every boundary and adopt one
+    # boundary late -> lists are at most 2 windows old; with K=1
+    # (no refreshes) full re-sorts adopt `tree_pipeline` boundaries
+    # late -> (D+1) windows.  Sync mode rebuilds in-line -> 1 window.
+    if not config.tree_async:
+        age = ts
+    elif max(1, int(getattr(config, "tree_resort_every", 1))) > 1:
+        age = 2 * ts
+    else:
+        D = max(1, int(getattr(config, "tree_pipeline", 1)))
+        age = (D + 1) * ts
+    if isinstance(vel, np.ndarray):
+        vrms_ax = np.sqrt(np.mean(vel.astype(np.float64) ** 2, axis=0))
+    else:
+        vrms_ax = np.sqrt(np.asarray(
+            jnp.mean(vel * vel, axis=0), np.float64))
+    fac = float(os.environ.get("CO_STALE_MARGIN_FACTOR", "2.0"))
+    return vrms_ax * config.dt * age * fac
 
 
 class Simulator:
@@ -187,51 +232,14 @@ class Simulator:
         return out
 
     def _set_stale_margin(self, state: ParticleState) -> None:
-        """Temporal MAC slack (config.stale_margin, auto when < 0).
-
-        Pair lists are frozen for up to `max_list_age` steps (snapshot ->
-        adoption `tree_pipeline` windows later -> one window of use), so a
-        node's content can drift ~max|v|*dt*age before the next traversal
-        sees it.  Inflating bounds by that drift at traversal time keeps
-        every accepted M2L pair admissible (convergent) and every truly
-        near pair inside the P2P list for the whole window — the frozen
-        acceptance set is the dominant staleness error
-        (docs/stale_anatomy_r05.json: window-end 1.8e-2 frozen vs 2.3e-4
-        fresh lists).  In the harmonic trap max|v| is bounded (energy
-        conservation), so the init-time value with a 1.25 safety factor
-        holds for the run.  The reference freezes lists with no slack
-        (fmm_cart3_kdtree.cuh:1619-1642).
-        """
+        """Temporal MAC slack (config.stale_margin; auto_stale_margin
+        derives the per-axis vector when config says auto/<0)."""
         sm = float(getattr(self.config, "stale_margin", 0.0))
         if sm >= 0.0:
             self._fmm.stale_margin_abs = sm
             return
-        ts = max(self.config.tree_steps, 1)
-        if ts <= 1:
-            self._fmm.stale_margin_abs = 0.0
-            return
-        # list age: refreshes re-traverse every boundary and adopt one
-        # boundary late -> lists are at most 2 windows old; with K=1
-        # (no refreshes) full re-sorts adopt `tree_pipeline` boundaries
-        # late -> (D+1) windows.  Sync mode rebuilds in-line -> 1 window.
-        if not self.config.tree_async:
-            age = ts
-        elif max(1, int(getattr(self.config, "tree_resort_every", 1))) > 1:
-            age = 2 * ts
-        else:
-            D = max(1, int(getattr(self.config, "tree_pipeline", 1)))
-            age = (D + 1) * ts
-        # RMS speed, not max: the margin targets the MEAN force error (the
-        # reference -accuracy metric); covering the few fastest tail
-        # particles costs pairs without moving the mean.  Measured sweet
-        # spot at N=1M/ts=16: margin ~1-3e-4 = rms|v|*dt*age territory
-        # (docs/stale_margin_r05.json).  Per-AXIS rms: drift is anisotropic
-        # (the default beam's v_z rms is ~10x v_y), and bounds inflate
-        # per axis, so a flat scalar would buy x/y slack the physics never
-        # uses while paying its near-field pair cost.
-        vrms_ax = np.sqrt(np.asarray(
-            jnp.mean(state.vel * state.vel, axis=0), np.float64))
-        self._fmm.stale_margin_abs = vrms_ax * self.config.dt * age
+        self._fmm.stale_margin_abs = auto_stale_margin(state.vel,
+                                                       self.config)
 
     def run(self, state: ParticleState, steps: int) -> ParticleState:
         """Advance `steps` iterations, rebuilding the tree as configured."""

@@ -33,7 +33,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     r = float(sys.argv[3]) if len(sys.argv) > 3 else 1.43
-    margins = ([v if v == "auto" else float(v)
+    # each margin is a number (flat scalar slack), "auto" (per-axis rms
+    # auto margin at the shipped factor), or "autoF<f>" (auto at factor f)
+    margins = ([v if v.startswith("auto") else float(v)
                 for v in sys.argv[4].split(",")]
                if len(sys.argv) > 4 else [0.0, 1e-4, 3e-4, 1e-3])
     ts = int(os.environ.get("CO_TS", "16"))
@@ -66,10 +68,14 @@ def main():
                                                       replace=False))
     rows = []
     for m in margins:
-        if m == "auto":
-            # shipped default: Simulator derives the margin from
-            # rms|v|*dt*max_list_age (config.stale_margin < 0)
+        if isinstance(m, str) and m.startswith("auto"):
+            # shipped default: Simulator derives the per-axis margin from
+            # rms|v_ax|*dt*max_list_age*factor (config.stale_margin < 0)
             os.environ.pop("CO_STALE_MARGIN", None)
+            if m.startswith("autoF"):
+                os.environ["CO_STALE_MARGIN_FACTOR"] = m[5:]
+            else:
+                os.environ.pop("CO_STALE_MARGIN_FACTOR", None)
         else:
             os.environ["CO_STALE_MARGIN"] = str(m)
         sim = Simulator(cfg, n, engine="fmm3_kd")
@@ -102,7 +108,7 @@ def main():
                 tstep.append((time.perf_counter() - t0) / (stp - done))
                 done = stp
             errs[stp] = err_now()
-            print(f"  margin={m:g} step={stp}: err={errs[stp]:.3e}",
+            print(f"  margin={m} step={stp}: err={errs[stp]:.3e}",
                   flush=True)
         # one clean timed window after the error evals
         t0 = time.perf_counter()
@@ -123,7 +129,7 @@ def main():
     path = (f"docs/stale_margin_r05_ts{ts}K{K}D{Dp}_{builder}.json"
             if os.environ.get("CO_TS") or builder != "host"
             else "docs/stale_margin_r05.json")
-    if "auto" in margins:
+    if any(isinstance(m, str) and m.startswith("auto") for m in margins):
         path = path.replace(".json", "_auto.json")
     with open(path, "w") as f:
         json.dump({"config": {"n": n, "p": p, "r": r, "ts": ts,

@@ -254,8 +254,8 @@ def test_stale_margin_auto_and_accuracy(beam, config):
     m_auto = np.asarray(sim._fmm.stale_margin_abs)
     # per-axis rms drift (anisotropic: bounds inflate per axis)
     vrms_ax = np.sqrt(np.asarray(jnp.mean(vel * vel, axis=0)))
-    # K=1 (no refreshes): age = (pipeline+1) windows
-    assert m_auto == pytest.approx(vrms_ax * cfg.dt * 8 * 3)
+    # K=1 (no refreshes): age = (pipeline+1) windows; 2x rms safety factor
+    assert m_auto == pytest.approx(vrms_ax * cfg.dt * 8 * 3 * 2.0)
     assert np.all(m_auto > 0.0)
 
     sim0 = Simulator(cfg.replace(stale_margin=0.0), N, engine="fmm3_kd")
