@@ -424,10 +424,16 @@ def final_timing(p, r, err, n=N_HEAD, early_stop_s=0.0, boost=None):
     ts = int(os.environ.get("CO_BENCH_TS", "8"))
     resort = int(os.environ.get("CO_BENCH_RESORT", "1"))
     pipe = int(os.environ.get("CO_BENCH_PIPE", "2"))
+    builder = os.environ.get("CO_BENCH_BUILDER", "host")
+    if builder == "kd_device":
+        os.environ["CO_SORT_MODE"] = "kd_device"
     config = SimConfig().replace(fmm_order=p, tree_radius=r,
                                  tree_steps=ts,
                                  tree_resort_every=resort,
-                                 tree_pipeline=pipe)
+                                 tree_pipeline=pipe,
+                                 tree_async_build=(
+                                     "device" if builder == "kd_device"
+                                     else "host"))
     # surface recompiles in the timing log: a cap growth reshapes the scan
     # and a compile landing inside a timed window is the #1 source of
     # outlier windows
@@ -547,6 +553,8 @@ def _cadence_env(tuned) -> None:
     os.environ["CO_BENCH_TS"] = str(tuned.get("tree_steps", 8))
     os.environ["CO_BENCH_RESORT"] = str(tuned.get("resort_every", 1))
     os.environ["CO_BENCH_PIPE"] = str(tuned.get("pipeline", 2))
+    os.environ["CO_BENCH_BUILDER"] = str(
+        _tuned_raw().get("builder", "host"))
     # traversal-time stale margin (docs/stale_margin_r05.json winner):
     # bounds the within-window staleness error of the frozen pair lists
     sm = _tuned_raw().get("stale_margin")
@@ -557,6 +565,12 @@ def _cadence_env(tuned) -> None:
 def _score(row, tree_steps):
     """Production cost proxy: frozen-tree force + amortized rebuild."""
     return row["force_s"] + row.get("rebuild_s", 0.0) / max(tree_steps, 1)
+
+
+def _winner_is_tuned(best) -> bool:
+    t = _tuned_raw()
+    return (best.get("p") == t.get("p") and best.get("r") == t.get("r")
+            and best.get("boost") == t.get("boost", 1.5))
 
 
 def _emit(best, cfg, probes, finals, note=""):
@@ -594,6 +608,7 @@ def _emit(best, cfg, probes, finals, note=""):
             "tree_steps": cfg.tree_steps, "integrator": cfg.integrator,
             "resort_every": cfg.tree_resort_every,
             "pipeline": cfg.tree_pipeline,
+            "builder": os.environ.get("CO_BENCH_BUILDER", "host"),
             # force error at the very END of a reuse window (maximal tree
             # staleness) at the shipped cadence, from the cadence probe —
             # the 1e-3 bound applies to the fresh-tree tuning error
@@ -603,13 +618,18 @@ def _emit(best, cfg, probes, finals, note=""):
             "stale_window_err": _tuned_raw().get("stale_window_err"),
             # window-MEAN stale force error at the shipped cadence + the
             # traversal-time stale margin that bounds it
-            # (scripts/stale_margin_probe.py -> docs/stale_margin_r05.json)
+            # (scripts/stale_margin_probe.py -> docs/stale_margin_r05.json).
+            # The ladder was MEASURED at BENCH_TUNED's (p, r, boost); it is
+            # only attached when that config is the winner, so the
+            # certification always describes the headline config itself
             "stale_window_mean_err":
-                _tuned_raw().get("stale_window_mean_err"),
+                _tuned_raw().get("stale_window_mean_err")
+                if _winner_is_tuned(best) else None,
             # per-step error ladder across one full reuse window at the
             # shipped cadence (the -test2-style certification,
             # main3.cu:812-831 analogue; scripts/stale_margin_probe.py)
-            "stale_window_errs": _tuned_raw().get("stale_window_errs"),
+            "stale_window_errs": _tuned_raw().get("stale_window_errs")
+                if _winner_is_tuned(best) else None,
             "stale_margin": _tuned_raw().get("stale_margin"),
             # auto-derived per-axis traversal-time MAC slack in effect
             # (rms|v_axis|*dt*max_list_age; config.stale_margin auto)
@@ -714,6 +734,15 @@ def main():
         if prow:
             probes.append(prow)
         if rc != 0 or not prow or "force_s" not in prow:
+            continue
+        # refinement winners are not window-ladder-certified (that
+        # measurement lives in BENCH_TUNED for the tuned config), so
+        # require headroom for within-window error growth: the measured
+        # window-mean/fresh ratio at the shipped margin is <= 1.4
+        # (docs/stale_margin_r05_auto.json) — gate at 1.5
+        if prow["err"] * 1.5 > ERR_BOUND:
+            print(f"## refine {cand}: err {prow['err']:.2e} leaves no "
+                  "window headroom; skipping", flush=True)
             continue
         if tuned_score is None:
             tp = next((r for r in probes
