@@ -165,8 +165,12 @@ class Simulator:
         cfg = self.config
         omega0_sq = self.omega0_sq
         mask3 = eng.mask3[..., None]
+        # refresh only pays when lists are REUSED: at tree_steps<=1 every
+        # step rebuilds exact geometry anyway, and the refresh sweep's
+        # in-scan buffers cost HBM (N=10M per-step-rebuild config OOMs
+        # with it on)
         geo = bool(getattr(cfg, "geom_refresh", False)) and \
-            hasattr(eng, "geom_refresh_in_jit")
+            hasattr(eng, "geom_refresh_in_jit") and cfg.tree_steps > 1
 
         def force(ppad, fstate):
             if geo:

@@ -10,6 +10,7 @@ Usage: python scripts/ladder.py [config_numbers...]   (default: 1 2 3 4)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -43,6 +44,8 @@ def _state(config, n, uniform=False):
 def _run(tag, config, n, engine, steps=12, uniform=False, integ=None):
     from coulomb_oscillators_tpu.simulate import Simulator
 
+    if os.environ.get("CO_GEOM_REFRESH") == "0":
+        config = config.replace(geom_refresh=False)
     t_setup = time.time()
     state = _state(config, n, uniform)
     sim = Simulator(config, n, engine=engine)
@@ -74,7 +77,10 @@ def _run(tag, config, n, engine, steps=12, uniform=False, integ=None):
 
 
 ROWS = []
-ARTIFACT = "LADDER_r05.json"
+# margin-0 / other variant runs write a sibling artifact (e.g.
+# CO_LADDER_OUT=LADDER_r05_margin0.json for the reference-equivalent
+# freeze-and-drift mode)
+ARTIFACT = os.environ.get("CO_LADDER_OUT", "LADDER_r05.json")
 
 
 def _write_artifact():
