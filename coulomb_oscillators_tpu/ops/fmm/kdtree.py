@@ -1585,8 +1585,10 @@ class KdFmmEngine:
             soa = jnp.concatenate([soa, sent], axis=0)        # [Gb+1, 8, CB]
             kern = (p2p_pallas.p2p_leaf_pairs_streaming if self.p2p_streaming
                     else p2p_pallas.p2p_leaf_pairs)
+            # targets flattened [Gb, CB*8]: a [Gb, CB, 8] pallas operand
+            # would tile-pad the 8-lane minor 16x in HBM (p2p_pallas.py)
             out = kern(
-                rows, soa, fs.p2p_row_ptr, fs.p2p_col2d,
+                rows.reshape(Gb, CB * 8), soa, fs.p2p_row_ptr, fs.p2p_col2d,
                 dim=dim, eps2=float(self.config.eps2),
                 nsub=1 << self.sub_depth, mask_shift=self.mask_shift)
             return out.reshape(G, C, 8)[:, :, :dim]

@@ -66,7 +66,11 @@ def _p2p_kernel(tgt_ref, col_hbm, degs_hbm, soa_ref, mtab_ref, out_ref,
     # a [Gsub+1] scalar-prefetch CSR costs Gsub*4 bytes of SMEM, which
     # overflows scalar memory past ~1M particles)
 
-    tgt = tgt_ref[0]                                   # [CB, 8]
+    # target block arrives flattened [CB*8]: a [.., CB, 8] operand would
+    # put the 8-wide axis on the 128-lane minor and tile-pad it 16x in
+    # HBM (8 GB of pure padding at N=10M); the in-kernel reshape is a
+    # one-block relayout
+    tgt = tgt_ref[0].reshape(-1, 8)                    # [CB, 8]
     CB = tgt.shape[0]
     Cs = CB // nsub
     outs = []
@@ -100,7 +104,7 @@ def _p2p_kernel(tgt_ref, col_hbm, degs_hbm, soa_ref, mtab_ref, out_ref,
         acc = jax.lax.fori_loop(0, nk, body, init)
         cols = list(acc) + [jnp.zeros((Cs, 8 - dim), jnp.float32)]
         outs.append(jnp.concatenate(cols, axis=1))     # [Cs, 8]
-    out_ref[0] = jnp.concatenate(outs, axis=0)         # [CB, 8]
+    out_ref[0] = jnp.concatenate(outs, axis=0).reshape(-1)   # [CB*8]
 
 
 def _p2p_stream_kernel(tgt_ref, col_hbm, degs_hbm, soa_hbm, mtab_ref,
@@ -122,7 +126,8 @@ def _p2p_stream_kernel(tgt_ref, col_hbm, degs_hbm, soa_hbm, mtab_ref,
     cp.wait()
     dp.wait()
 
-    tgt = tgt_ref[0]                                   # [CB, 8]
+    # flattened target block (see _p2p_kernel: avoids 16x lane padding)
+    tgt = tgt_ref[0].reshape(-1, 8)                    # [CB, 8]
     CB = tgt.shape[0]
     Cs = CB // nsub
     outs = []
@@ -184,7 +189,7 @@ def _p2p_stream_kernel(tgt_ref, col_hbm, degs_hbm, soa_hbm, mtab_ref,
         acc = jax.lax.fori_loop(0, nk, body, init)
         cols = list(acc) + [jnp.zeros((Cs, 8 - dim), jnp.float32)]
         outs.append(jnp.concatenate(cols, axis=1))     # [Cs, 8]
-    out_ref[0] = jnp.concatenate(outs, axis=0)         # [CB, 8]
+    out_ref[0] = jnp.concatenate(outs, axis=0).reshape(-1)   # [CB*8]
 
 
 @functools.partial(jax.jit,
@@ -195,7 +200,8 @@ def p2p_leaf_pairs_streaming(pos_rows: jax.Array, pos_soa: jax.Array,
                              mask_shift: int = 31) -> jax.Array:
     """Same contract as :func:`p2p_leaf_pairs`, but the SoA stays in HBM
     and partner blocks stream through a double-buffered VMEM scratch."""
-    Gb, CB, _ = pos_rows.shape
+    Gb, CB8 = pos_rows.shape
+    CB = CB8 // 8
     assert pos_soa.shape[0] == Gb + 1 and pos_soa.shape[2] == CB
     assert CB % 128 == 0, "source block lane width must be 128-aligned"
     assert col2d.shape[0] == Gb * nsub
@@ -212,7 +218,7 @@ def p2p_leaf_pairs_streaming(pos_rows: jax.Array, pos_soa: jax.Array,
         num_scalar_prefetch=0,
         grid=(Gb,),
         in_specs=[
-            pl.BlockSpec((1, CB, 8), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, CB * 8), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # col2d
             pl.BlockSpec(memory_space=pltpu.HBM),  # degs2d
@@ -220,7 +226,7 @@ def p2p_leaf_pairs_streaming(pos_rows: jax.Array, pos_soa: jax.Array,
             pl.BlockSpec(((1 << nsub), 1, CB), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CB, 8), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, CB * 8), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((nsub, Dmax), jnp.int32),
@@ -235,7 +241,7 @@ def p2p_leaf_pairs_streaming(pos_rows: jax.Array, pos_soa: jax.Array,
         functools.partial(_p2p_stream_kernel, dim=dim, eps2=float(eps2),
                           nsub=nsub, mask_shift=mask_shift),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Gb, CB, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Gb, CB * 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(pos_rows, col3d, degs2d, pos_soa, jnp.asarray(mtab))
@@ -249,14 +255,18 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
                    mask_shift: int = 31) -> jax.Array:
     """Near-field accelerations on padded target blocks.
 
-    pos_rows: [Gb, CB, 8] targets (CB = nsub sub-leaves of Csub rows);
+    pos_rows: [Gb, CB*8] targets, each block a row-major flattened
+    [CB, 8] tile (CB = nsub sub-leaves of Csub rows) — flattened so the
+    8-wide axis never sits on the 128-lane minor dim, where XLA tile
+    padding would expand it 16x in HBM (8 GB of padding at N=10M);
     pos_soa: [Gb+1, 8, CB] source blocks (last block = FAR sentinel; held
     fully VMEM-resident); row_ptr: [Gb*nsub + 1] int32 per-SUB-LEAF degree
     CSR; col2d: [Gb*nsub, Dmax] int32 packed partner entries
     (blk | mask << mask_shift, padding entries mask 0), Dmax a multiple of
-    KBLK.  Returns [Gb, CB, 8].
+    KBLK.  Returns [Gb, CB*8].
     """
-    Gb, CB, _ = pos_rows.shape
+    Gb, CB8 = pos_rows.shape
+    CB = CB8 // 8
     assert pos_soa.shape[0] == Gb + 1 and pos_soa.shape[2] == CB
     assert CB % 128 == 0, "source block lane width must be 128-aligned"
     assert col2d.shape[0] == Gb * nsub
@@ -276,7 +286,7 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
         num_scalar_prefetch=0,
         grid=(Gb,),
         in_specs=[
-            pl.BlockSpec((1, CB, 8), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, CB * 8), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # col2d: DMA rows to SMEM
             pl.BlockSpec(memory_space=pltpu.HBM),  # degs2d
@@ -286,7 +296,7 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
             pl.BlockSpec(((1 << nsub), 1, CB), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CB, 8), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, CB * 8), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((nsub, Dmax), jnp.int32),
@@ -299,7 +309,7 @@ def p2p_leaf_pairs(pos_rows: jax.Array, pos_soa: jax.Array,
         functools.partial(_p2p_kernel, dim=dim, eps2=float(eps2),
                           nsub=nsub, mask_shift=mask_shift),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Gb, CB, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Gb, CB * 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(pos_rows, col3d, degs2d, pos_soa, jnp.asarray(mtab))
